@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2b is a [[Q]] in [[all]]:
+  * a named Spark query over the driver tables plus (where SQL-expressible)
+  * a DuckDB oracle. The driver's correctness gate (graft.Verify → DuckDB)
+  * and bench (graft.Bench) both iterate this registry.
+  */
 object SparkEntry {
+
+  /** The full operator registry, grouped by SURVEY.md §7 slice. */
+  def all: Seq[Q] =
+    operators.TextPipeline.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("ngram_count")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Queries Bench times (headline set). */
+  def headlines: Seq[Q] = all.filter(_.headline)
 }
