@@ -24,7 +24,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. Read it as a nanos long (legacy conf) and truncate to
+    * microsecond TimestampType — exactly what DuckDB does on read, so the
+    * oracle sees identical values. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
