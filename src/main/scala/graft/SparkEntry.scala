@@ -14,7 +14,8 @@ object SparkEntry {
   /** The full operator registry, grouped by SURVEY.md §7 slice. */
   def all: Seq[Q] =
     operators.TextPipeline.all ++
-      operators.Scalars.all
+      operators.Scalars.all ++
+      operators.Aggregates.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

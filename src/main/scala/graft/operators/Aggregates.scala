@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation layer (SURVEY.md §2b G10–G12): hash aggregation,
+  * distinct / count-distinct (exact + HLL), rollup / cube / grouping
+  * sets. Spark plans all of these as partial→final `HashAggregateExec`
+  * pairs — the reference's map-side combiner (reference/WordCount.java:150)
+  * generalized, with no user code.
+  *
+  * Determinism note (X7 / oracle parity): SUM over DoubleType is
+  * accumulation-order-dependent, and shuffle order is nondeterministic —
+  * at 100 TB that's a real reproducibility bug, not just an oracle
+  * nuisance. Money-like doubles here have an exact decimal width (price
+  * 2dp, discount/tax 2dp → products 4/6dp), so we cast to DECIMAL at
+  * that width before SUM: the sum is then exact and order-independent
+  * in both engines; final cast back to DOUBLE for a stable schema.
+  */
+object Aggregates {
+
+  private val qtyD = DecimalType(18, 2)
+  private val priceD = DecimalType(18, 2)
+  private val revD = DecimalType(28, 4)
+  private val chargeD = DecimalType(28, 6)
+
+  def all: Seq[Q] = Seq(
+
+    // G10 flagship aggregate: TPC-H Q1-style pricing summary.
+    Q("agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(qtyD)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(priceD)).cast("double").as("sum_base"),
+          sum(rev.cast(revD)).cast("double").as("sum_disc"),
+          sum((rev * (lit(1) + col("l_tax"))).cast(chargeD)).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(qtyD)).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(priceD)).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }.copy(headline = true),
+
+    // G10: multi-key group over the event stream table; min/max on
+    // doubles are exact (no decimal cast needed).
+    Q("agg_events_by_type",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("value").cast(priceD)).cast("double").as("total_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    },
+
+    // G11: DISTINCT (plans as an aggregate on all columns).
+    Q("distinct_flag_status",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // G11: exact count-distinct (Catalyst plans Expand + two-phase agg).
+    Q("count_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS parts,
+        |  COUNT(DISTINCT l_suppkey) AS supps,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("parts"),
+          countDistinct(col("l_suppkey")).as("supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // G11: HLL sketch count-distinct — the 100 TB path (single pass, no
+    // Expand blow-up). Sketch estimates are engine-specific → rows-only
+    // check here; accuracy vs exact is asserted in AggregateSpec.
+    Q.noOracle("approx_count_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // G12: ROLLUP (hierarchical subtotals). NULLS FIRST pinned on both
+    // sides — Spark defaults nulls-first ASC, DuckDB nulls-last.
+    Q("rollup_orders",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(priceD)).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // G12: CUBE (all grouping combinations).
+    Q("cube_lineitem",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // G12: explicit GROUPING SETS with grouping() disambiguation markers
+    // (entry point B: SQL over registered views; same SQL family as the
+    // oracle modulo the grouping-id cast).
+    Q("grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }
+  )
+}
