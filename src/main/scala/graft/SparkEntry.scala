@@ -15,7 +15,8 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.TextPipeline.all ++
       operators.Scalars.all ++
-      operators.Aggregates.all
+      operators.Aggregates.all ++
+      operators.Joins.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
