@@ -16,7 +16,9 @@ object SparkEntry {
     operators.TextPipeline.all ++
       operators.Scalars.all ++
       operators.Aggregates.all ++
-      operators.Joins.all
+      operators.Joins.all ++
+      operators.Windows.all ++
+      operators.SetOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
