@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Aggregates.all ++
       operators.Joins.all ++
       operators.Windows.all ++
-      operators.SetOps.all
+      operators.SetOps.all ++
+      operators.Physical.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

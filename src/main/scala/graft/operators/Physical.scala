@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.{FirstCharPartitioner, TextFns}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-layout layer (SURVEY.md §2b G18–G19): the reference's exact
+  * physical pattern — partition by key range, sort within partitions, so
+  * concatenated partition outputs are globally sorted
+  * (reference/report.md:139-145).
+  *
+  * Spark expresses it two ways:
+  *   - `repartitionByRange(n, key).sortWithinPartitions(key)` — Spark
+  *     samples the real key distribution for balanced ranges (strictly
+  *     better than the reference's fixed 26-letter math at scale);
+  *   - `repartition(n, first_char_partition(key))` — bit-exact fidelity
+  *     to the reference's WCPartitioner buckets via the custom Catalyst
+  *     expression [[graft.functions.FirstCharPartitionExpr]].
+  */
+object Physical {
+
+  /** Distinct normalized words of `documents` (the reference's n=1 keys). */
+  private def words(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .distinct()
+
+  /** `repartition(n, expr)` is HASH partitioning — physical partition is
+    * `pmod(murmur3(expr), n)`, not the expression value. To place bucket
+    * `i` in physical partition `i` exactly (the reference's contract:
+    * reducer i writes range i, so concatenating part files in order is
+    * globally sorted), map each bucket id to a sentinel int whose
+    * Murmur3(seed=42) hash ≡ i (mod n). Pure DataFrame API, no RDDs.
+    */
+  private def bucketSentinel(bucket: Int, n: Int): Int = {
+    var k = 0
+    while (true) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(k, 42)
+      if (((h % n) + n) % n == bucket) return k
+      k += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Column mapping a bucket-id column to its sentinel (see above). */
+  private def sentinelOf(bucketCol: org.apache.spark.sql.Column, n: Int) =
+    (0 until n).foldLeft(lit(bucketSentinel(0, n))) { (acc, i) =>
+      when(bucketCol === i, lit(bucketSentinel(i, n))).otherwise(acc)
+    }
+
+  def all: Seq[Q] = Seq(
+
+    // G19 (oracled): the partitioner math as a scalar expression, over
+    // the reference's own key domain. boundary = 26/7 = 3 (integer div).
+    Q("partition_ids",
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |words AS (SELECT DISTINCT u.w AS word FROM toks, unnest(t) AS u(w))
+        |SELECT word,
+        |  CAST(CASE WHEN substring(word, 1, 1) BETWEEN '0' AND '9' THEN 0
+        |       ELSE least(greatest((ascii(substring(word, 1, 1)) - 97) // 3, 0), 6)
+        |       END AS INTEGER) AS pid
+        |FROM words ORDER BY word""".stripMargin) { (s, d) =>
+      words(s, d)
+        .select(col("word"), FirstCharPartitioner(col("word"), 7).as("pid"))
+        .orderBy("word")
+    },
+
+    // G18 (rows-only): range partition + in-partition sort. Verified
+    // structurally in PhysicalSpec (disjoint ordered ranges).
+    Q.noOracle("range_partition_layout") { (s, d) =>
+      TextPipeline.ngramCount(Tables.documents(s, d), "text", 3)
+        .repartitionByRange(8, col("ngram"))
+        .sortWithinPartitions("ngram")
+        .select(spark_partition_id().as("pid"), col("ngram"), col("cnt"))
+    },
+
+    // G18/G19 (rows-only): the reference's WCPartitioner layout exactly —
+    // 7 first-char buckets, sorted within each; concatenating buckets in
+    // pid order yields the reference's globally sorted output.
+    Q.noOracle("reference_partition_layout") { (s, d) =>
+      words(s, d)
+        .repartition(7, sentinelOf(FirstCharPartitioner(col("word"), 7), 7))
+        .sortWithinPartitions("word")
+        .select(spark_partition_id().as("pid"), col("word"),
+          FirstCharPartitioner(col("word"), 7).as("expected_pid"))
+    }
+  )
+}

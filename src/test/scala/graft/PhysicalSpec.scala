@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{FirstCharPartitioner, FirstCharPartitionExpr}
+import graft.operators.Physical
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout layer tests (SURVEY.md §2b G18–G19): the reference's
+  * partition-by-first-char + sort-within-partition pattern
+  * (reference/WordCount.java:32-62, reference/report.md:139-189).
+  */
+class PhysicalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pid(s: String, n: Int): Int =
+    FirstCharPartitioner.partitionOf(UTF8String.fromString(s), n)
+
+  test("partitioner math matches the reference's worked example (report.md:154-157, 7 reducers)") {
+    // boundary = 26/7 = 3 (integer division — the reference's quirk, kept)
+    assert(pid("apple", 7) == 0)   // (a-a)/3 = 0
+    assert(pid("dog", 7) == 1)     // (d-a)/3 = 1
+    assert(pid("zebra", 7) == 6)   // (z-a)/3 = 8 → clamped to 6
+    assert(pid("7wonders", 7) == 0) // digit → partition 0 (WordCount.java:42-45)
+  }
+
+  test("partition id ∈ [0, N) and monotone in first char, for all N in 1..26") {
+    val keys = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) :+ ""
+    for (n <- 1 to 26) {
+      val ids = keys.map(k => pid(k, n))
+      assert(ids.forall(i => i >= 0 && i < n), s"n=$n out of range")
+      val letterIds = ('a' to 'z').map(c => pid(c.toString, n))
+      assert(letterIds == letterIds.sorted, s"n=$n not monotone")
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    val keys = Seq("apple", "mango", "zebra", "42nd", "", "Quark", "~tilde")
+    val df = keys.toDF("k").select($"k", FirstCharPartitioner($"k", 7).as("pid"))
+    val got = df.as[(String, Int)].collect().toMap
+    keys.foreach(k => assert(got(k) == pid(k, 7), s"key=$k"))
+  }
+
+  test("numPartitions above 26 rejected, like the reference (WordCount.java:36-38)") {
+    intercept[IllegalArgumentException] {
+      FirstCharPartitionExpr(
+        org.apache.spark.sql.GraftBridge.expression(lit("a")), 27)
+    }
+  }
+
+  test("reference layout: every row lands in its expected partition, sorted within") {
+    val rows = Physical.all.find(_.name == "reference_partition_layout").get
+      .fn(spark, SparkTestSession.sf0001)
+      .as[(Int, String, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, _, exp) => p == exp })
+    // ascending within each partition = globally sorted when concatenated in pid order
+    rows.groupBy(_._1).foreach { case (p, grp) =>
+      // collect() preserves intra-partition order per partition block
+      val words = grp.map(_._2).toSeq
+      assert(words == words.sorted, s"partition $p not sorted")
+    }
+  }
+
+  test("range_partition_layout: partitions hold disjoint ordered ranges") {
+    val rows = Physical.all.find(_.name == "range_partition_layout").get
+      .fn(spark, SparkTestSession.sf0001)
+      .select("pid", "ngram").as[(Int, String)].collect()
+    val byPid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, g) => (p, g.map(_._2).min, g.map(_._2).max) }
+    byPid.sliding(2).foreach {
+      case Seq((_, _, max1), (_, min2, _)) => assert(max1 <= min2)
+      case _ =>
+    }
+  }
+}
