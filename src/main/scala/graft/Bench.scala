@@ -12,7 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: fully materializes every row and column (sorts run,
+      // scalar columns evaluate) with zero serialization/disk cost.
+      // A bare count() would let Catalyst eliminate top-level ORDER BYs
+      // and prune all computed columns — under-measuring the query.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

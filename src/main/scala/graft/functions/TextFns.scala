@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   *     nothing (reference/WordCount.java:86 emits only once the queue
   *     holds n-1 prior tokens).
   *
-  * Everything here is pure `org.apache.spark.sql.functions` composition —
-  * codegen'd by Catalyst, no UDF/serialization cost, safe at any scale.
-  * A native Catalyst expression variant lives in
-  * [[graft.functions.NGramsExpr]] and is benchmarked against this form.
+  * [[ngrams]] and [[tokens]] evaluate via the native single-pass Catalyst
+  * expression [[NGramsExpr]]; the pure-`functions` composition is kept as
+  * [[ngramsHof]]/[[tokensHof]] and property-tested equivalent
+  * (NgramSpec), per the ship-fallback-first plan of SURVEY.md §4.3.
   */
 object TextFns {
 
@@ -33,14 +33,17 @@ object TextFns {
     filter(parts, t => length(t) > lit(0))
   }
 
-  /** Normalized tokens: S1 then whitespace split, empties dropped
+  /** Normalized tokens — native [[NGramsExpr]] n=1 fast path
+    * (reference/WordCount.java:81-84). */
+  def tokens(c: Column): Column = NGramsEval(c, 1)
+
+  /** HOF form of [[tokens]]: S1 then whitespace split, empties dropped
     * (StringTokenizer never emits empty tokens; Spark `split` can emit a
     * leading "" — the filter restores parity). */
-  def tokens(c: Column): Column = rawTokens(normalize(c))
+  def tokensHof(c: Column): Column = rawTokens(normalize(c))
 
   /** Sliding n-gram windows over a token array, single-space joined.
-    * <n tokens → empty array. n=1 → the tokens themselves (the
-    * reference's fast path, reference/WordCount.java:81-84). */
+    * <n tokens → empty array. n=1 → the tokens themselves. */
   def ngramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     if (n == 1) toks
@@ -52,6 +55,10 @@ object TextFns {
         .otherwise(array().cast("array<string>"))
   }
 
-  /** End-to-end: normalize → tokenize → n-gram windows (flagship G2). */
-  def ngrams(c: Column, n: Int): Column = ngramsOfTokens(tokens(c), n)
+  /** End-to-end: normalize → tokenize → n-gram windows (flagship G2),
+    * evaluated by the native single-pass [[NGramsExpr]]. */
+  def ngrams(c: Column, n: Int): Column = NGramsEval(c, n)
+
+  /** HOF fallback form of [[ngrams]] (SURVEY.md §4.3 item 1 fallback). */
+  def ngramsHof(c: Column, n: Int): Column = ngramsOfTokens(tokensHof(c), n)
 }

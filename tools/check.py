@@ -31,7 +31,13 @@ def main(sf_dir, out_dir):
                   for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)}
 
     n_pass = n_fail = 0
-    for name in sorted(spark_dirs):
+    # union of declared oracles and written dirs: a query whose Spark side
+    # threw in graft.Verify (dir never written) must count as FAIL, not
+    # silently vanish from both tallies.
+    for name in sorted(set(spark_dirs) | set(oracle)):
+        if name not in spark_dirs:
+            print(f"FAIL {name}: no spark output dir (query threw in Verify?)")
+            n_fail += 1; continue
         d = spark_dirs[name]
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
