@@ -19,7 +19,12 @@ object SparkEntry {
       operators.Joins.all ++
       operators.Windows.all ++
       operators.SetOps.all ++
-      operators.Physical.all
+      operators.Physical.all ++
+      operators.TextAnalysis.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.NearDup.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

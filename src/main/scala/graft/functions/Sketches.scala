@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator` UDAFs for near-duplicate sketching (SURVEY.md
+  * §4.3 item 2; fills the G20 UDAF surface).
+  *
+  * Both aggregators keep FIXED-SIZE buffers (k longs / 64 ints) — the
+  * spill-safety rule of SURVEY.md §4.4: per-group state never grows
+  * with group size, so a hot document with millions of shingles costs
+  * the same memory as a tiny one.
+  */
+object Sketches {
+
+  /** MinHash: element-wise minimum over per-permutation hash arrays.
+    * Input rows are the k-vector of hashes of ONE shingle; the
+    * aggregate is the k-vector of minima — an unbiased estimator of
+    * Jaccard similarity via component agreement. Commutative +
+    * associative, so Spark's partial/final split applies untouched. */
+  class MinHashAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { val v = a(i); if (v < b(i)) b(i) = v; i += 1 }
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** SimHash: 64 signed bit-counters over per-feature 64-bit hashes;
+    * finish() collapses to the sign bit-vector. Hamming distance
+    * between signatures approximates angular distance between the
+    * feature multisets. */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) { b(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      b
+    }
+    override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { b1(j) += b2(j); j += 1 }
+      b1
+    }
+    override def finish(b: Array[Int]): Long = {
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (b(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
+  }
+
+  /** Column form: `minhash(k)(hashesCol)` over `array<bigint>` rows. */
+  def minhash(k: Int): Column => Column = {
+    val fn = udaf(new MinHashAgg(k), ExpressionEncoder[Seq[Long]]())
+    c => fn(c)
+  }
+
+  /** Column form: `simhash(hashCol)` over `bigint` rows. */
+  val simhash: Column => Column = {
+    val fn = udaf(new SimHashAgg, ExpressionEncoder[Long]())
+    c => fn(c)
+  }
+}

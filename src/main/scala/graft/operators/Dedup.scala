@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-dedup layer (SURVEY.md §2b X1): content-hash dedup, keyed
+  * first-row dedup, and exact n-gram Jaccard similarity.
+  *
+  * Scale posture: every variant is a hash aggregation on a
+  * high-cardinality key (content hash / text). The keyed dedup is an
+  * aggregation — min over a struct — NOT a `row_number()=1` window:
+  * the window form funnels each key into one task, which on a
+  * ~tens-cardinality key like `events.user_id` means ~tens of giant
+  * tasks at 100 TB; the aggregate form keeps map-side partial
+  * aggregation and spreads by (key-hash % partitions).
+  */
+object Dedup {
+
+  /** X1a: collapse exact duplicates by content hash; keeper = min id.
+    * One shuffle on the hash. */
+  def exactByContent(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keeper_id", "n_copies")
+
+  /** X1b: first row per key, as an aggregation: min of (ts, id, payload)
+    * struct = lexicographically-first event, identical to the
+    * row_number()=1 answer but without a per-key window sort. */
+  def firstPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"),
+        col("m.ts").as("first_ts"),
+        col("m.event_id").as("first_event_id"),
+        col("m.event_type").as("first_type"))
+
+  def all: Seq[Q] = Seq(
+
+    // X1: exact dedup by content hash (md5 hex identical across engines).
+    Q("dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) { (s, d) =>
+      exactByContent(Tables.documents(s, d)).orderBy("content_hash")
+    },
+
+    // X1 row-form: the surviving rows themselves (oracle is the
+    // row_number()=1 formulation per SURVEY.md §2b X1; the Spark plan is
+    // the same min-struct aggregate self-joined back — equal results,
+    // no low-cardinality window).
+    Q("dedup_rows",
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keepers = docs.groupBy(col("text").as("t"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      docs.join(keepers, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // X1 keyed: first event per user, aggregate form (see scaladoc).
+    Q("dedup_first_per_key",
+      """SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+        |  event_type AS first_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      firstPerKey(Tables.events(s, d)).orderBy("user_id")
+    },
+
+    // Exact n-gram Jaccard between adjacent doc ids (linear pair count —
+    // the all-pairs form is what MinHash/LSH exists to avoid; candidate
+    // generation at scale is Dedup's MinHash banding, see MinHashOps).
+    Q("jaccard_adjacent",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list(DISTINCT array_to_string(t[u.i:u.i+2], ' ')) AS s
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3 GROUP BY doc_id),
+        |sh AS (
+        |  SELECT toks.doc_id, coalesce(grams.s, CAST([] AS VARCHAR[])) AS s
+        |  FROM toks LEFT JOIN grams ON toks.doc_id = grams.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / nullif(CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 0.0), 9) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+      val a = sh.select(col("doc_id").as("id1"), col("s").as("s1"))
+      val b = sh.select(col("doc_id").as("id2"), col("s").as("s2"))
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      a.join(b, col("id1") + 1 === col("id2"))
+        .select(col("id1"), col("id2"),
+          round(try_divide(inter,
+            (size(col("s1")) + size(col("s2"))).cast("double") - inter), 9).as("jaccard"))
+        .orderBy("id1")
+    }
+  )
+}

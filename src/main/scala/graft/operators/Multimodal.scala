@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** One multimodal record: opaque binary payload + typed metadata —
+  * the schema shape for image/audio/video columns at rest. */
+case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Output of the (stubbed) decode/feature-extract stage. */
+case class MediaFeatures(
+    doc_id: Long, media_type: String, n_bytes: Int,
+    checksum: Long, width: Int, height: Int)
+
+/** Multimodal pipeline (SURVEY.md §2b X6 + the training-data mandate's
+  * multimodal-columns item).
+  *
+  * Two parts:
+  *   - [[all]]'s `multimodal_join`: text × vector × JSON-props in ONE
+  *     relational pipeline (documents ⋈ embeddings on the 1:1
+  *     doc_id=vec_id key, then events joined by their JSON `k` doc
+  *     reference) — fully oracled.
+  *   - [[mediaFeatures]]: the binary-column path. Media payloads are
+  *     opaque `binary` with typed metadata; decode/feature-extract runs
+  *     as a typed batched `mapPartitions` — the ONE place the engine
+  *     uses ladder step (d) (SURVEY.md §2b), because decoding opaque
+  *     bytes is genuine per-partition imperative work no Catalyst
+  *     expression expresses. The decode itself is a DETERMINISTIC FAKE
+  *     (polynomial checksum → pretend width/height): the container has
+  *     no image/audio codecs, so the stub stands in for e.g. a JPEG
+  *     decoder while the Spark-side contract — schema, encoders,
+  *     batching, partition parallelism — is real and tested
+  *     (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** Documents re-cast as binary media records (payload = UTF-8 bytes;
+    * media_type fanned out deterministically from the id). */
+  def asMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode/feature-extract over binary payloads. Batches of 64
+    * mirror a vectorized decoder's input shape; each partition decodes
+    * independently (embarrassingly parallel at any scale). */
+  def mediaFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          // --- deterministic FAKE decode (stand-in for a real codec) ---
+          // checksum: 31-polynomial over payload bytes, overflow wrapped.
+          var h = 1125899906842597L
+          var i = 0
+          while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+          val w = 16 + (java.lang.Long.remainderUnsigned(h, 240)).toInt
+          val ht = 16 + (java.lang.Long.remainderUnsigned(h >>> 8, 240)).toInt
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length, h, w, ht)
+        }
+      }
+    }
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // X6: text ⋈ vector ⋈ JSON in one pipeline. Plan: 1:1 SMJ/BHJ of
+    // the two 500-row tables builds the per-doc feature side, which is
+    // then BROADCAST into the big events stream (events is the only
+    // table that scales); one final hash agg. DECIMAL sums for
+    // order-independent totals (see Aggregates scaladoc).
+    Q("multimodal_join",
+      """WITH feats AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, e.label,
+        |    round(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |ev AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS ref_id, value
+        |  FROM events)
+        |SELECT f.lang, f.label,
+        |  count(*) AS n_events,
+        |  count(DISTINCT f.doc_id) AS n_docs,
+        |  CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(f.l2 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_l2
+        |FROM ev JOIN feats f ON ev.ref_id = f.doc_id
+        |GROUP BY f.lang, f.label
+        |ORDER BY f.lang, f.label""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val feats = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          round(sqrt(Similarity.norm2(col("embedding").cast("array<double>"))), 6).as("l2"))
+      val ev = Tables.events(s, d).select(
+        try_element_at(from_json(col("props"), MapType(StringType, StringType)), lit("k"))
+          .cast("long").as("ref_id"),
+        col("value"))
+      ev.join(broadcast(feats), col("ref_id") === col("doc_id"))
+        .groupBy("lang", "label")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total_value"),
+          (sum(col("l2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1))).as("avg_l2"))
+        .orderBy("lang", "label")
+    },
+
+    // Binary media plumbing (no SQL oracle — mapPartitions decode;
+    // values pinned by MultimodalSpec instead).
+    Q.noOracle("multimodal_media_features") { (s, d) =>
+      mediaFeatures(asMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.{Sketches, TextFns}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (SURVEY.md §2b X2 + the training-data
+  * mandate): MinHash + banded LSH, and SimHash + chunked LSH.
+  *
+  * Scale design: the ONLY join in either path is an equi-join on LSH
+  * bucket keys — candidate generation never goes all-pairs. Buckets
+  * above [[maxBucket]] are dropped before pairing (standard LSH
+  * guard: a degenerate bucket of B docs would otherwise cost B²; the
+  * docs it contains are near-identical boilerplate better handled by
+  * exact dedup). Verification of candidates compares fixed-k
+  * signatures — O(k) per pair, independent of document size.
+  */
+object NearDup {
+
+  val K = 32            // minhash permutations
+  val Bands = 8         // LSH bands…
+  val R = 4             // …of R rows each (K = Bands * R)
+  val maxBucket = 64    // candidate-bucket size cap
+
+  /** Per-doc MinHash signature: explode distinct 3-token shingles,
+    * hash each under K fixed seeds, element-wise min via the
+    * [[Sketches.MinHashAgg]] UDAF. One shuffle (groupBy doc). */
+  def minhashSignatures(docs: DataFrame, k: Int = K): DataFrame = {
+    val hashes = array((0 until k).map(i => xxhash64(lit(i), col("shingle"))): _*)
+    docs.select(col("doc_id"), explode(array_distinct(TextFns.ngrams(col("text"), 3))).as("shingle"))
+      .select(col("doc_id"), hashes.as("hs"))
+      .groupBy("doc_id")
+      .agg(Sketches.minhash(k)(col("hs")).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs + signature-agreement similarity
+    * estimate, thresholded. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        i => struct(i.as("band"), xxhash64(slice(col("sig"), i * R + 1, lit(R))).as("bsig")))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+    // LSH guard: drop degenerate buckets before the self-join.
+    val small = bands.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val inSmall = bands.join(small, Seq("band", "bsig"))
+    val a = inSmall.select(col("band"), col("bsig"), col("doc_id").as("id1"), col("sig").as("s1"))
+    val b = inSmall.select(col("band"), col("bsig"), col("doc_id").as("id2"), col("sig").as("s2"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"))
+      .distinct() // a pair can collide in several bands
+      .select(col("id1"), col("id2"),
+        (aggregate(zip_with(col("s1"), col("s2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") / K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Per-doc 64-bit SimHash over normalized tokens. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(Sketches.simhash(col("h")).as("sig"))
+
+  /** SimHash near-dup pairs: LSH on the four 16-bit chunks (two docs
+    * within Hamming distance 3 of each other must agree on at least
+    * one chunk… for distance ≤ 3 over 4 chunks — pigeonhole), verify
+    * with exact Hamming distance via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("sig"), j * 16).bitwiseAND(0xffffL).as("csig"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.csig").as("csig"))
+    val small = chunks.groupBy("chunk", "csig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val inSmall = chunks.join(small, Seq("chunk", "csig"))
+    val a = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id1"), col("sig").as("s1"))
+    val b = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id2"), col("sig").as("s2"))
+    a.join(b, Seq("chunk", "csig"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Demo corpus with PLANTED near-dups: the documents plus, for
+    * doc_id < 50, a copy truncated to ~80% of its text under
+    * doc_id + 100000 — so the pair queries have deterministic non-empty
+    * output on the pristine driver tables (which contain no dups). */
+  def withPlantedDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(TextFns.rawTokens(col("text")), lit(1),
+            greatest(lit(3), (size(TextFns.rawTokens(col("text"))) * 4 / 5).cast("int"))), " ").as("text")))
+
+  def all: Seq[Q] = Seq(
+    // X2: per-doc signatures (deterministic; rows-only check — the
+    // estimator itself is property-tested in NearDupSpec).
+    Q.noOracle("minhash_signatures") { (s, d) =>
+      minhashSignatures(Tables.documents(s, d))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
+          element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
+        .orderBy("doc_id")
+    },
+    // X2: banded-LSH near-dup pairs over docs ∪ planted 80%-truncated
+    // copies (threshold 0.5 keeps the planted pairs, estimator ≈ 0.8).
+    Q.noOracle("minhash_near_dup_pairs") { (s, d) =>
+      minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5)
+        .orderBy("id1", "id2")
+    },
+    Q.noOracle("simhash_signatures") { (s, d) =>
+      simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    Q.noOracle("simhash_near_dup_pairs") { (s, d) =>
+      simhashPairs(withPlantedDups(Tables.documents(s, d)), 16)
+        .orderBy("id1", "id2")
+    }
+  )
+}

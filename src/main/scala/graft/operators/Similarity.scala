@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding` (SURVEY.md §2b X3).
+  *
+  * Two paths, per the ANN ladder:
+  *   - [[cosineTopK]]: brute-force exact top-k — the query set rides as
+  *     a BROADCAST (never a shuffled cartesian product), so the plan is
+  *     one scan of the candidate side regardless of corpus size; cost
+  *     is |corpus| × |queries| dot products, the right baseline when
+  *     queries are few.
+  *   - [[annTopK]]: LSH-bucketed approximate top-k — random-hyperplane
+  *     signatures shrink the candidate set to same-bucket vectors, the
+  *     scale path when the query side is itself large. Hyperplanes are
+  *     deterministic (fixed-seed) literals baked into the plan.
+  *
+  * Top-k extraction is TWO-PHASE: per-(query, salt) local top-k first,
+  * then exact top-k over the ≤ salts×k survivors — no low-cardinality
+  * single-task window sort at any point (the VERDICT r01 scale rule).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns — same
+    * accumulation order as DuckDB's list_inner_product, so results are
+    * bit-comparable before rounding. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def norm2(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x * x)
+
+  /** Two-phase exact top-k per query: local winners per (q, salt) then
+    * global winners per q. `ord` must be deterministic (ties broken). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val salt = pmod(col("vec_id"), lit(16))
+    val local = Window.partitionBy(col("q_id"), salt)
+      .orderBy(col("cos").desc, col("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("r_local", row_number().over(local))
+      .filter(col("r_local") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** X3 baseline: exact cosine top-k of every corpus vector against a
+    * small query set (vec_id < nQ), queries broadcast. Ranking happens
+    * on the ROUNDED similarity (+vec_id tiebreak) so rank order is
+    * reproducible across engines and runs. */
+  def cosineTopK(emb: DataFrame, nQ: Int, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+    val q = v.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      .filter(col("q_id") < nQ)
+    val scored = v.filter(col("vec_id") >= nQ)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+    topKPerQuery(scored, k).orderBy("q_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim, fixed seed —
+    * the LSH family for cosine (sign of the projection). */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Bit-signature column: bit j = (v · plane_j) > 0. */
+  private[graft] def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** X3 scale path: multi-table LSH approximate top-k (OR
+    * amplification: `nTables` independent hash tables of `nPlanes` sign
+    * bits each; a corpus vector is a candidate if it shares a bucket
+    * with the query in ANY table). Candidate generation is an equi-join
+    * on (table, bucket) + a distinct — never all-pairs; per-query cost
+    * drops from |corpus| to the matched-bucket union. Recall vs
+    * [[cosineTopK]] is asserted in SimilaritySpec. */
+  def annTopK(emb: DataFrame, nQ: Int, k: Int,
+              nPlanes: Int = 5, nTables: Int = 12): DataFrame = {
+    val allPlanes = hyperplanes(nPlanes * nTables, 64)
+    def sigStructs(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        lshSignature(v, allPlanes.slice(t * nPlanes, (t + 1) * nPlanes)).as("sig"))
+    }: _*)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+    // (id, table, bucket) postings — one row per table per vector
+    val postings = v.select(col("vec_id"), explode(sigStructs(col("v"))).as("b"))
+      .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
+    val qPost = postings.filter(col("vec_id") < nQ)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = postings.filter(col("vec_id") >= nQ)
+      .join(qPost, Seq("lsh_t", "lsh_sig"))
+      .select("q_id", "vec_id").distinct()
+    // re-attach vectors to the surviving candidates only, then score
+    val q = v.select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(v, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+    topKPerQuery(scored, k).orderBy("q_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // X3: exact cosine top-10 for 8 query vectors (oracled — identical
+    // double arithmetic both sides; rank over rounded cos + id tiebreak).
+    Q("cosine_topk",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM v WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_inner_product(qv, v) / (sqrt(n2) * sqrt(qn2)), 6) AS cos
+        |  FROM v CROSS JOIN q WHERE vec_id >= 8)
+        |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      cosineTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+    },
+
+    // X3 scale path: LSH-bucketed ANN (approximate — no SQL oracle;
+    // recall vs the exact path is asserted in SimilaritySpec).
+    Q.noOracle("ann_lsh_topk") { (s, d) =>
+      annTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+    }
+  )
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis layer (SURVEY.md §2b X4–X5 + the training-data-pipeline
+  * mandate): TF-IDF, per-language corpus stats, heuristic language ID,
+  * document quality scoring, tokenizer-style token counting, and
+  * min-hash document fingerprinting. All pure column-function / groupBy
+  * composition over the native [[TextFns.tokens]]/[[TextFns.ngrams]]
+  * expression — every op is a keyed shuffle, no driver-side state, so
+  * the plans scale by partition count alone.
+  */
+object TextAnalysis {
+
+  /** Shared DuckDB fragment: normalized token list of `text`
+    * (parity with [[TextFns.tokens]], see TextPipeline.ngramCountSql). */
+  private val duckToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0)"""
+
+  /** X4: TF-IDF per (doc, term). tf = term count in doc; idf = ln(N/df).
+    * Plan: explode → two hash aggs (doc,term) and (term) → shuffle join
+    * tf⋈df on term → broadcast of the single-row doc count. The N-row
+    * side never leaves the executors (no collect): it rides in as a
+    * broadcast cross join of one row. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Per-language stopword profiles for the language-ID heuristic.
+    * Tiny fixed lists — they broadcast as literals inside the plan. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu"))
+
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    round(try_divide(
+      size(filter(toks, t => t.isInCollection(words))).cast("double"),
+      size(toks).cast("double")), 9)
+
+  private def duckHitRatio(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"round(CAST(len(list_filter(t, x -> list_contains($lst, x))) AS DOUBLE) / nullif(CAST(len(t) AS DOUBLE), 0.0), 9)"
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // X4: TF-IDF (SURVEY.md §2b X4) — pure SQL-oracle-able.
+    Q("tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf,
+         |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      tfidf(Tables.documents(s, d))
+    },
+
+    // X5: per-language corpus stats (lang breakdown). Exact integer
+    // sums; averages are one double division at the end in both engines.
+    Q("text_stats",
+      s"""WITH pd AS (
+         |  SELECT lang, n_chars, len($duckToks) AS ntok FROM documents)
+         |SELECT lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+         |  round(avg(CAST(ntok AS DOUBLE)), 4) AS avg_tokens,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("ntok").as("total_tokens"),
+          round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+          round(avg(col("ntok").cast("double")), 4).as("avg_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // Language-ID heuristic: stopword-profile hit ratios, argmax with a
+    // fixed tie-break order (en > fr > es > de > unknown). On synthetic
+    // data this is a determinism exercise; the operator shape (per-row
+    // scoring against broadcast profiles) is the real thing.
+    Q("lang_id_heuristic",
+      s"""WITH pd AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ${duckHitRatio(stopwords(0)._2)} AS s_en,
+         |    ${duckHitRatio(stopwords(1)._2)} AS s_fr,
+         |    ${duckHitRatio(stopwords(2)._2)} AS s_es,
+         |    ${duckHitRatio(stopwords(3)._2)} AS s_de
+         |  FROM pd)
+         |SELECT doc_id, s_en, s_fr, s_es, s_de,
+         |  CASE
+         |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |    WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+         |    WHEN s_de > 0 THEN 'de'
+         |    ELSE 'unknown' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = TextFns.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"),
+        hitRatio(t, stopwords(0)._2).as("s_en"),
+        hitRatio(t, stopwords(1)._2).as("s_fr"),
+        hitRatio(t, stopwords(2)._2).as("s_es"),
+        hitRatio(t, stopwords(3)._2).as("s_de"))
+      scored.select(col("doc_id"), col("s_en"), col("s_fr"), col("s_es"), col("s_de"),
+        when(col("s_en") > 0 && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_es") > 0 && col("s_es") >= col("s_de"), "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("unknown").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / punctuation / stopword / repetition
+    // signals composed into one score — the standard pre-training
+    // corpus-filter shape (each signal is a cheap scan-local expression).
+    Q("doc_quality",
+      s"""WITH pd AS (
+         |  SELECT doc_id, n_chars, $duckToks AS t,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_chars, n_punct,
+         |    CAST(len(t) AS BIGINT) AS ntok,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS nuniq,
+         |    CAST(len(list_filter(t, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x))) AS DOUBLE)
+         |      / nullif(CAST(len(t) AS DOUBLE), 0.0) AS stop_raw,
+         |    CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0) AS punct_raw,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / nullif(CAST(len(t) AS DOUBLE), 0.0) AS uniq_raw
+         |  FROM pd)
+         |SELECT doc_id, ntok, nuniq,
+         |  round(punct_raw, 9) AS punct_ratio,
+         |  round(stop_raw, 9) AS stop_ratio,
+         |  round(uniq_raw, 9) AS uniq_ratio,
+         |  round(0.4 * uniq_raw + 0.3 * least(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+         |      + 0.2 * (1.0 - punct_raw) + 0.1 * least(stop_raw * 5.0, 1.0), 9) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Composite scores from the RAW ratios, rounding only for display:
+      // building on pre-rounded 9dp decimals puts the composite exactly
+      // on rounding midpoints where the engines' round() tip differently.
+      val t = TextFns.tokens(col("text"))
+      val f = Tables.documents(s, d).select(
+        col("doc_id"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_punct"),
+        size(t).cast("long").as("ntok"),
+        size(array_distinct(t)).cast("long").as("nuniq"),
+        try_divide(size(filter(t, x => x.isInCollection(stopwords(0)._2))).cast("double"),
+          size(t).cast("double")).as("stop_raw"))
+        .withColumn("punct_raw", try_divide(col("n_punct").cast("double"), col("n_chars").cast("double")))
+        .withColumn("uniq_raw", try_divide(col("nuniq").cast("double"), col("ntok").cast("double")))
+      f.select(col("doc_id"), col("ntok"), col("nuniq"),
+        round(col("punct_raw"), 9).as("punct_ratio"),
+        round(col("stop_raw"), 9).as("stop_ratio"),
+        round(col("uniq_raw"), 9).as("uniq_ratio"),
+        round(lit(0.4) * col("uniq_raw")
+          + lit(0.3) * least(col("ntok").cast("double") / 100.0, lit(1.0))
+          + lit(0.2) * (lit(1.0) - col("punct_raw"))
+          + lit(0.1) * least(col("stop_raw") * 5.0, lit(1.0)), 9).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens vs a BPE-style pre-tokenizer
+    // regex (word runs | single digits | punctuation runs — the
+    // GPT-2-ish split, lookahead-free so Java regex and RE2 agree) vs
+    // the chars/4 rule of thumb.
+    Q("token_count_bpe",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_chars4
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"), lit(0))).cast("long").as("bpe_tokens"),
+        size(TextFns.rawTokens(col("text"))).cast("long").as("ws_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_chars4"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: 4-band min-hash over 3-token shingles
+    // (winnowing-style sketch). md5 hex strings order-compare
+    // identically in both engines; band = first hex char mod 4. Docs
+    // with <3 tokens have no shingles and drop out (both sides).
+    Q("doc_fingerprint",
+      s"""WITH sh AS (
+         |  SELECT doc_id, md5(array_to_string(t[u.i:u.i+2], ' ')) AS h
+         |  FROM (SELECT doc_id, $duckToks AS t FROM documents),
+         |       unnest(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3)
+         |SELECT doc_id,
+         |  min(CASE WHEN ascii(substring(h, 1, 1)) % 4 = 0 THEN h END) AS f0,
+         |  min(CASE WHEN ascii(substring(h, 1, 1)) % 4 = 1 THEN h END) AS f1,
+         |  min(CASE WHEN ascii(substring(h, 1, 1)) % 4 = 2 THEN h END) AS f2,
+         |  min(CASE WHEN ascii(substring(h, 1, 1)) % 4 = 3 THEN h END) AS f3,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = md5(col("shingle"))
+      val band = pmod(ascii(substring(h, 1, 1)), lit(4))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 3)).as("shingle"))
+        .select(col("doc_id"), h.as("h"), band.as("band"))
+        .groupBy("doc_id")
+        .agg(
+          min(when(col("band") === 0, col("h"))).as("f0"),
+          min(when(col("band") === 1, col("h"))).as("f1"),
+          min(when(col("band") === 2, col("h"))).as("f2"),
+          min(when(col("band") === 3, col("h"))).as("f3"),
+          countDistinct(col("h")).as("n_shingles"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, NearDup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X1/X2 property tests (SURVEY.md §5.2(4)): exact dedup, MinHash
+  * estimator quality on constructed overlap sets, SimHash behavior,
+  * and LSH recall of planted near-dups. */
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Construct docs with a known token overlap: doc B keeps `keep` of
+    * A's 100 distinct tokens and replaces the rest. True 3-shingle
+    * Jaccard is computable exactly via Dedup's jaccard machinery. */
+  private def overlapDocs(keep: Int): Seq[(Long, String)] = {
+    val base = (0 until 100).map(i => s"tok$i")
+    val b = base.take(keep) ++ (keep until 100).map(i => s"other$i")
+    Seq((0L, base.mkString(" ")), (1L, b.mkString(" ")))
+  }
+
+  private def trueJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exact dedup: identical texts collapse to one keeper with min id") {
+    val docs = Seq((10L, "a b c"), (3L, "a b c"), (7L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactByContent(docs)
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(got == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhash: identical docs get identical signatures; estimate = 1") {
+    val docs = Seq((0L, "w1 w2 w3 w4 w5 w6"), (1L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val sigs = NearDup.minhashSignatures(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val pairs = NearDup.minhashPairs(docs, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("minhash estimate within ε of true Jaccard on constructed overlap sets") {
+    for (keep <- Seq(90, 70, 50)) {
+      val docs = overlapDocs(keep).toDF("doc_id", "text")
+      val Seq((a, b)) = Seq(overlapDocs(keep).map(_._2)).map(s => (s(0), s(1)))
+      val truth = trueJaccard(a, b)
+      val est = NearDup.minhashPairs(docs, 0.0)
+        .as[(Long, Long, Double)].collect()
+      // banding must surface the pair at these similarity levels
+      assert(est.nonEmpty, s"keep=$keep: pair not found by LSH banding")
+      // k=32 permutations → stderr ≈ sqrt(J(1-J)/32) ≈ 0.09; allow 3σ
+      assert(math.abs(est.head._3 - truth) < 0.27,
+        s"keep=$keep: est=${est.head._3} truth=$truth")
+    }
+  }
+
+  test("simhash: identical docs identical sigs; small perturbation stays within hamming 16") {
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val perturbed = (0 until 200).map(i => if (i % 20 == 0) s"chg$i" else s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, perturbed)).toDF("doc_id", "text")
+    val sigs = NearDup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+  }
+
+  test("LSH banding recall: every planted 80%-truncation pair is found at threshold 0.5") {
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)
+    val pairs = NearDup.minhashPairs(NearDup.withPlantedDups(docs), 0.5)
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 100000).map(_._1).toSet
+    // an 80% prefix copy shares ≥ ~75% of shingles → est ≥ 0.5 comfortably
+    assert(planted.size >= 45, s"only ${planted.size}/50 planted pairs found")
+  }
+
+  test("LSH bucket cap drops degenerate buckets, not normal ones") {
+    // 200 identical docs → one bucket of 200 > maxBucket(64) → no pairs
+    val degenerate = (0L until 200L).map(i => (i, "same text for every doc here"))
+      .toDF("doc_id", "text")
+    assert(NearDup.minhashPairs(degenerate, 0.0).count() == 0)
+  }
+}

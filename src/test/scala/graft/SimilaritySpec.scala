@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X3 similarity-search tests: exact top-k sanity and ANN recall vs
+  * the brute-force baseline (the standard ANN quality metric). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)
+
+  test("exact cosine top-k: k rows per query, rank 1..k, cos non-increasing") {
+    val rows = Similarity.cosineTopK(emb, nQ = 8, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 10))
+      val cos = g.sortBy(_._2).map(_._4)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0000001 && c <= 1.0000001))
+    }
+  }
+
+  test("ANN LSH top-k: same-bucket recall vs brute force is reasonable") {
+    val exact = Similarity.cosineTopK(emb, nQ = 8, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ann = Similarity.annTopK(emb, nQ = 8, k = 10, nPlanes = 8)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // every ANN hit must be a real vector; recall averaged over queries
+    // is necessarily partial (single-probe LSH) but must be non-trivial
+    val recalls = exact.map { case (q, ids) =>
+      ann.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.1, s"mean recall $mean — LSH buckets are not grouping neighbors")
+    // and ANN scores must match exact scores for the ids both agree on
+    val exactScores = Similarity.cosineTopK(emb, 8, 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    Similarity.annTopK(emb, 8, 10).as[(Long, Int, Long, Double)].collect()
+      .foreach { case (q, _, id, c) =>
+        exactScores.get((q, id)).foreach(e => assert(math.abs(e - c) < 1e-9))
+      }
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  }
+}
