@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.TimeWindows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Batch forms of the G22 time-window operators, DuckDB-oracled — the
+  * SAME column expressions StreamingOps runs incrementally (SURVEY.md
+  * §2b G22: "batch window() variant oracled via date_trunc-bucket
+  * SQL"). Spark's window() buckets are epoch-aligned in session-UTC;
+  * the oracles rebuild the identical buckets with integer epoch
+  * arithmetic, so boundary rows land identically in both engines.
+  */
+object TimeWindows {
+
+  def all: Seq[Q] = Seq(
+
+    // G22a: tumbling 1h × event_type (shares tumblingCounts's agg).
+    Q("time_window_tumbling",
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      StreamingOps.tumblingCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type")
+    },
+
+    // G22b: sliding 1h window every 30m — each event contributes to the
+    // two windows [b-30m, b+30m) and [b, b+1h) where b = its 30m bucket.
+    // Exact distinct users here (the streaming form uses HLL for
+    // unbounded state; the batch oracle checks the exact variant).
+    Q("time_window_sliding",
+      """WITH b AS (
+        |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+        |           - off.o) AS TIMESTAMP) AS window_start,
+        |    user_id
+        |  FROM events, (SELECT unnest([0, 1800]) AS o) off)
+        |SELECT window_start,
+        |  window_start + INTERVAL 1 HOUR AS window_end,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM b GROUP BY window_start
+        |ORDER BY window_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("n_events"), col("n_users"))
+        .orderBy("window_start")
+    },
+
+    // G22c: session windows (30m gap) per user. Oracle is the classic
+    // gaps-and-islands rewrite: a session break is a gap >= 30m (Spark
+    // merges an event only when it lands STRICTLY inside [start,
+    // prev+30m)); session_end = last event + gap.
+    Q("time_window_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |           OR lag(ts) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      StreamingOps.sessionCounts(Tables.events(s, d))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -25,11 +25,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read it as a nanos long (legacy conf) and truncate to
-    * microsecond TimestampType — exactly what DuckDB does on read, so the
-    * oracle sees identical values. */
+    * rejects. Read it as a nanos long and truncate to microsecond
+    * TimestampType — exactly what DuckDB does on read, so the oracle sees
+    * identical values. Requires spark.sql.legacy.parquet.nanosAsLong=true,
+    * set at SESSION BUILD by every entry point (Verify, Bench,
+    * SparkTestSession) — not here: a table loader mutating session state
+    * would surprise unrelated reads and concurrent callers. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events needs spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.ts is parquet TIMESTAMP(NANOS))")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

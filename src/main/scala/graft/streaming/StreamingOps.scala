@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over `events` (SURVEY.md §2b G21–G23,
+  * entry point C of §3.4).
+  *
+  * Every transform here is defined on an UNBOUNDED DataFrame and reuses
+  * the same Catalyst expressions as the batch path — batch/stream
+  * equivalence is asserted in StreamingSpec by running each transform
+  * both ways over the same parquet. State management is built-ins only
+  * (windowed aggregation state + `dropDuplicatesWithinWatermark`), per
+  * the SURVEY §7 watch-list: no hand-rolled `flatMapGroupsWithState`
+  * where a built-in holds.
+  *
+  * Scale posture: streaming state is keyed by (window, key) — the state
+  * store shards by key hash across partitions exactly like a batch
+  * shuffle; watermarks bound state size (windows older than
+  * watermark − lateness are evicted every micro-batch).
+  */
+object StreamingOps {
+
+  /** Raw parquet schema of `events` — `ts` arrives as nanosecond int64
+    * (read with spark.sql.legacy.parquet.nanosAsLong=true, set at
+    * session build; see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** G21: rate-limited streaming ingest of the events parquet —
+    * micro-batches of ≤ `maxFilesPerTrigger` files. The ns→µs ts
+    * conversion matches the batch loader exactly. */
+  def readEventsStream(spark: SparkSession, sfDir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // glob, not a bare file path: the file stream source requires its
+      // basePath to be a directory (new files matching the pattern are
+      // picked up as they land — the production ingest shape)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** G22: tumbling 1-hour windows per event type, 2-hour watermark.
+    * Works unchanged on batch input (window() is the same expression). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** G22: sliding 1-hour windows every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("approx_users"))
+
+  /** G22: session windows — 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** G23: stateful streaming dedup by event_id within the watermark —
+    * exactly-once semantics for at-least-once sources whose duplicates
+    * arrive within the lateness bound (state is evicted past it, unlike
+    * plain dropDuplicates whose state grows forever). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G21–G23 streaming tests (SURVEY.md §5.2(5)): micro-batch runs over
+  * the same events parquet must equal the batch run of the same
+  * transform; watermark drops late data; streaming dedup is stateful
+  * within the watermark. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private var sinkN = 0
+
+  /** Run a streaming transform of the events stream to completion
+    * (AvailableNow) into a memory sink; return the sink contents. */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    sinkN += 1
+    val name = s"sink$sinkN"
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def batchEvents = sources.Tables.events(spark, SparkTestSession.sf0001)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("G21 ingest: streaming read of events == batch read") {
+    val got = runToMemory(
+      StreamingOps.readEventsStream(spark, SparkTestSession.sf0001), "append")
+    assert(sortedRows(got) == sortedRows(batchEvents))
+  }
+
+  test("G22 tumbling windows: streaming (complete mode) == batch") {
+    val got = runToMemory(
+      StreamingOps.tumblingCounts(
+        StreamingOps.readEventsStream(spark, SparkTestSession.sf0001)), "complete")
+    assert(sortedRows(got) == sortedRows(StreamingOps.tumblingCounts(batchEvents)))
+  }
+
+  test("G22 session windows: streaming (complete mode) == batch") {
+    val got = runToMemory(
+      StreamingOps.sessionCounts(
+        StreamingOps.readEventsStream(spark, SparkTestSession.sf0001)), "complete")
+    assert(sortedRows(got) == sortedRows(StreamingOps.sessionCounts(batchEvents)))
+  }
+
+  test("G23 streaming dedup: duplicate event_ids within watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamingOps.dedupStream(stream).writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((1L, t(0), 1L, "click", 1.0, "{}"), (2L, t(1), 1L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((1L, t(2), 1L, "click", 1.0, "{}"), (3L, t(3), 2L, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_sink").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // second id=1 suppressed
+  }
+
+  test("G22 watermark: late rows beyond lateness bound are dropped (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(
+      stream.withColumn("user_id", lit(1L)).withColumn("event_id", lit(1L))
+        .withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("late_sink").outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: establish event time up to 13:00 → watermark 11:00
+    mem.addData((ts("2024-01-01 10:30:00"), "click", 1.0),
+      (ts("2024-01-01 13:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a VERY late row for the already-finalized 10:00 window
+    mem.addData((ts("2024-01-01 10:40:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to emit everything pending
+    mem.addData((ts("2024-01-01 20:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_sink")
+      .select(col("window_start").cast("string"), col("n_events")).as[(String, Long)]
+      .collect().toMap
+    // 10:00 window was finalized with 1 event; the late 10:40 row did not resurrect it
+    assert(out("2024-01-01 10:00:00") == 1L)
+  }
+}
