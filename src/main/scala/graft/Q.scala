@@ -11,7 +11,8 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    /** headline queries are the ones Bench times */
+    /** flagship queries highlighted in reporting; the driver's Bench
+      * times EVERY registered query, not just these */
     headline: Boolean = false)
 
 object Q {

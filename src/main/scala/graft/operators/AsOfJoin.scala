@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *   4. keep only left rows.
   *
   * Scale posture: ONE shuffle on the key (vs a naive range join's
-  * quadratic blow-up); no broadcast requirement; skew bounded by key
-  * cardinality. Right rows sort before left rows at equal ts, so
-  * `right.ts == left.ts` matches (inclusive as-of).
+  * quadratic blow-up); no broadcast requirement. Right rows sort before
+  * left rows at equal ts, so `right.ts == left.ts` matches (inclusive
+  * as-of). CAVEAT: each key is one window partition, so a
+  * low-cardinality key (like events.user_id, cardinality ~tens) means
+  * a handful of giant tasks at 100 TB — use [[lastTimestampBucketed]]
+  * there, which sub-partitions every key by time bucket and carries the
+  * per-bucket last value in, bounding every task by bucket span.
   */
 object AsOfJoin {
 
@@ -50,6 +54,60 @@ object AsOfJoin {
       .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__rts")
+  }
+
+  /** Scale form of [[lastTimestamp]]: window partitions are (key, time
+    * bucket) instead of bare key, so partition size is bounded by bucket
+    * span × arrival rate no matter how few keys exist. The cross-bucket
+    * dependency (a bucket's answer can come from an arbitrarily earlier
+    * bucket) is restored by a carry-in pass:
+    *
+    *   1. per (key, bucket): latest right ts — plain aggregation;
+    *   2. per key, over the (small) bucket spine: running max over
+    *      STRICTLY EARLIER buckets = the carry-in — a window over
+    *      #buckets rows per key, not #events;
+    *   3. inject each carry-in as a synthetic right row (its real,
+    *      earlier ts sorts it before everything in the bucket) and run
+    *      the same last-non-null window per (key, bucket).
+    *
+    * Identical results to [[lastTimestamp]] (AsOfJoinSpec asserts it;
+    * join_asof_bucketed shares join_asof's DuckDB oracle). */
+  def lastTimestampBucketed(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            bucketSeconds: Long = 86400L): DataFrame = {
+    def bucketOf(ts: Column): Column =
+      floor(unix_micros(ts) / lit(bucketSeconds * 1000000L)).cast("long")
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+      .withColumn("__b", bucketOf(col("__ts")))
+    val r = right
+      .select(col(key), col(rightTs).as("__ts"))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col("__ts"))
+      .withColumn("__b", bucketOf(col("__ts")))
+    val lastPerBucket = r.groupBy(col(key), col("__b")).agg(max("__rts").as("__last"))
+    val spine = l.select(col(key), col("__b"))
+      .union(r.select(col(key), col("__b"))).distinct()
+    val carryW = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(lastPerBucket, Seq(key, "__b"), "left")
+      .withColumn("__carry", max(col("__last")).over(carryW))
+      .filter(col("__carry").isNotNull)
+      .select(col(key), col("__b"), col("__carry").as("__rts"))
+      .withColumn("__ts", col("__rts"))
+      .withColumn("__side", lit(0))
+    val unioned = l
+      .unionByName(r, allowMissingColumns = true)
+      .unionByName(carry, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__ts"), col("__side"), col("__rts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rts", "__b")
   }
 
   /** Generalized: carry arbitrary right-side payload columns as-of.

@@ -171,6 +171,24 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // G13 as-of, bucketed scale form (same oracle: results must be
+    // identical to join_asof; user_id is exactly the ~tens-cardinality
+    // key the bucketed variant exists for).
+    Q("join_asof_bucketed",
+      """SELECT e.event_id,
+        |  (SELECT max(p.ts) FROM events p
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |     AND p.ts <= e.ts) AS asof_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      AsOfJoin.lastTimestampBucketed(
+        ev, ev.filter(col("event_type") === "purchase"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        bucketSeconds = 6 * 3600L) // 6h buckets over ~days of data
+        .select("event_id", "asof_ts")
+        .orderBy("event_id")
+    },
+
     // X7 skew posture: salted join must produce exactly the plain join's
     // result — the oracle IS the unsalted join.
     Q("join_skew_salted",

@@ -32,6 +32,11 @@ object Physical {
     * reducer i writes range i, so concatenating part files in order is
     * globally sorted), map each bucket id to a sentinel int whose
     * Murmur3(seed=42) hash ≡ i (mod n). Pure DataFrame API, no RDDs.
+    *
+    * NOTE: this bakes in Spark's internal HashPartitioning formula
+    * (Murmur3_x86_32.hashInt, seed 42, pmod). A Spark upgrade changing
+    * either would silently break the placement guarantee — PhysicalSpec's
+    * `p == expected_pid` assertion is the canary; re-run it on upgrade.
     */
   private def bucketSentinel(bucket: Int, n: Int): Int = {
     var k = 0

@@ -23,27 +23,32 @@ object Windows {
 
   def all: Seq[Q] = Seq(
 
-    // G14 ranking: row_number / rank / dense_rank / ntile.
+    // G14 ranking: row_number / rank / dense_rank / ntile, partitioned
+    // by l_orderkey — a key whose cardinality GROWS with the data, so
+    // window tasks stay bounded at any scale. (A ≤tens-cardinality key
+    // like returnflag or suppkey funnels the whole table into a handful
+    // of single-task sorts at 100 TB; for low-cardinality ranking use
+    // the two-phase top-k rewrite instead — see Similarity.topKPerQuery.)
     Q("window_ranking",
-      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-        |  row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS rn,
-        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rnk,
-        |  dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS drnk,
-        |  ntile(4) OVER (PARTITION BY l_returnflag
-        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS quartile
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber, l_quantity) AS rn,
+        |  rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC) AS drnk,
+        |  ntile(4) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber, l_quantity) AS quartile
         |FROM lineitem
-        |ORDER BY l_returnflag, rn""".stripMargin) { (s, d) =>
-      val byPrice = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val rankW = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
+        |ORDER BY l_orderkey, rn""".stripMargin) { (s, d) =>
+      val byPrice = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"), col("l_quantity"))
+      val rankW = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc)
       Tables.lineitem(s, d).select(
-        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         row_number().over(byPrice).as("rn"),
         rank().over(rankW).as("rnk"),
         dense_rank().over(rankW).as("drnk"),
         ntile(4).over(byPrice).as("quartile"))
-        .orderBy("l_returnflag", "rn")
+        .orderBy("l_orderkey", "rn")
     },
 
     // G14 analytic: lag / lead / first / last over each customer's order

@@ -38,6 +38,21 @@ class JoinSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("bucketed as-of == plain as-of on real events, tiny buckets force carry-ins") {
+    val ev = sources.Tables.events(spark, SparkTestSession.sf0001)
+    val right = ev.filter(col("event_type") === "purchase")
+    val plain = AsOfJoin.lastTimestamp(ev, right, "user_id", "ts", "ts")
+      .select("event_id", "asof_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    // 10-minute buckets over ~minutes-apart events: most lookups must
+    // cross bucket boundaries, exercising the carry-in path hard
+    val bucketed = AsOfJoin.lastTimestampBucketed(ev, right, "user_id", "ts", "ts",
+      bucketSeconds = 600L)
+      .select("event_id", "asof_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    assert(bucketed == plain)
+  }
+
   test("salted join equals plain join") {
     val li = sources.Tables.lineitem(spark, SparkTestSession.sf0001)
     val o = sources.Tables.orders(spark, SparkTestSession.sf0001)

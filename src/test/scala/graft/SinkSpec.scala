@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.operators.TextPipeline
+import graft.sources.Sinks
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G24 sink tests: TSV reference fidelity (key\tvalue lines; range
+  * partition + in-partition sort ⇒ concatenated parts globally sorted,
+  * reference/WordCount.java:158 + report.md:139-145) and parquet
+  * round-trip with partition pruning layout. */
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft-$name").resolve("out").toString
+
+  private def partLines(dir: String): Seq[Seq[String]] =
+    Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .map(p => Files.readAllLines(p).asScala.toSeq)
+
+  test("TSV sink: golden clam/cram output, tab-separated, globally sorted") {
+    val counts = TextPipeline.ngramCount(
+      Seq("How can a clam cram in a clean cream can?").toDF("text"), "text", 3)
+    val dir = tmp("tsv")
+    Sinks.writeSortedTsv(counts, dir, "ngram", 2)
+    val all = partLines(dir).flatten
+    // the reference's exact part-file content (report.md:77-90)
+    assert(all == Seq(
+      "a clam cram\t1", "a clean cream\t1", "can a clam\t1", "clam cram in\t1",
+      "clean cream can\t1", "cram in a\t1", "how can a\t1", "in a clean\t1"))
+  }
+
+  test("sorted TSV: parts hold disjoint ordered ranges (reference layout)") {
+    val counts = TextPipeline.ngramCount(
+      sources.Tables.documents(spark, SparkTestSession.sf0001), "text", 3)
+    val dir = tmp("ranges")
+    Sinks.writeSortedTsv(counts, dir, "ngram", 4)
+    val parts = partLines(dir).filter(_.nonEmpty)
+    assert(parts.size > 1)
+    parts.foreach(p => assert(p == p.sorted, "within-part sort"))
+    val keys = parts.map(_.map(_.split('\t')(0)))
+    keys.sliding(2).foreach {
+      case Seq(a, b) => assert(a.last <= b.head, "cross-part ranges overlap")
+      case _ =>
+    }
+    // concatenation in part order == the fully sorted output
+    assert(keys.flatten == keys.flatten.sorted)
+  }
+
+  test("parquet sink: round-trip preserves rows; partitionBy lays out pruning dirs") {
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "lang", "n_chars")
+    val dir = tmp("parquet")
+    Sinks.writeParquet(docs, dir, partitionBy = Seq("lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val langDirs = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(langDirs == Set("lang=en", "lang=fr", "lang=es", "lang=zh", "lang=de"))
+    // partition filter must prune to one directory's rows
+    val en = back.filter($"lang" === "en").count()
+    val enDirect = docs.filter($"lang" === "en").count()
+    assert(en == enDirect)
+  }
+}
