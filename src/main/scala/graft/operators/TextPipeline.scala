@@ -63,6 +63,17 @@ object TextPipeline {
     // n=5: the reference's build.sh invocation (reference/build.sh:8)
     Q("ngram5_count", ngramCountSql(5)) { (s, d) =>
       ngramCount(Tables.documents(s, d), "text", 5)
+    },
+    // Entry point B (SURVEY.md §3.3): the same flagship through
+    // spark.sql over registered views, with the native ngrams
+    // expression registered as a SQL function and exploded as a
+    // generator — the engine's UDTF surface (G20).
+    Q("sql_entry_ngrams", ngramCountSql(2)) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.registerViews(s, d)
+      s.sql("""SELECT ngram, count(*) AS cnt
+              |FROM (SELECT explode(ngrams(text, 2)) AS ngram FROM documents)
+              |GROUP BY ngram ORDER BY ngram""".stripMargin)
     }
   )
 }

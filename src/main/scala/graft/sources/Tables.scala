@@ -41,7 +41,12 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Register every table as a temp view (entry point B: SQL over views). */
+  /** Register every table as a temp view (entry point B: SQL over views).
+    * `events` goes through [[events]] so the SQL surface sees the same
+    * microsecond timestamps as the DataFrame surface. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else apply(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
