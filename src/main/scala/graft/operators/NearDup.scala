@@ -92,6 +92,35 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-dup, blocked exactly by `label` (IVF-style:
+    * label is the coarse quantizer cell, so only same-cell pairs are
+    * compared — |cell|² work per cell instead of |corpus|²). Exact
+    * within blocks → SQL-oracle-able. At 100 TB cells must themselves
+    * be capped (the [[maxBucket]] guard) or sub-split by an LSH table —
+    * see [[embeddingNearDupLsh]]. */
+  def embeddingNearDupByLabel(emb: DataFrame, threshold: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.norm2(col("v")))
+    val a = v.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
+    val b = v.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("id2"),
+        round(Similarity.dot(col("v1"), col("v2"))
+          / (sqrt(col("n21")) * sqrt(col("n22"))), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup via the multi-table LSH postings —
+    * the unblocked scale path (candidates = same (table, bucket),
+    * verify = exact cosine). Approximate: recall vs the exact form is
+    * what NearDupSpec asserts. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Similarity.lshCandidatePairs(emb)
+    pairs.filter(col("cos") >= threshold)
+  }
+
   /** Demo corpus with PLANTED near-dups: the documents plus, for
     * doc_id < 50, a copy truncated to ~80% of its text under
     * doc_id + 100000 — so the pair queries have deterministic non-empty
@@ -102,6 +131,17 @@ object NearDup {
         .select((col("doc_id") + 100000).as("doc_id"),
           array_join(slice(TextFns.rawTokens(col("text")), lit(1),
             greatest(lit(3), (size(TextFns.rawTokens(col("text"))) * 4 / 5).cast("int"))), " ").as("text")))
+
+  /** Embeddings plus planted near-dups: for vec_id < 40, a copy under
+    * vec_id + 100000 with every 8th dimension zeroed — cosine ≈ 0.93
+    * to its original, far above the random-pair tail (≤ ~0.47). */
+  def withPlantedEmbeddingDups(emb: DataFrame): DataFrame =
+    emb.select("vec_id", "embedding", "label").unionByName(
+      emb.filter(col("vec_id") < 40).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i % 8 === 0, lit(0.0f)).otherwise(x)).as("embedding"),
+        col("label")))
 
   def all: Seq[Q] = Seq(
     // X2: per-doc signatures (deterministic; rows-only check — the
@@ -121,6 +161,28 @@ object NearDup {
     },
     Q.noOracle("simhash_signatures") { (s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    // Embedding-cosine near-dup, label-blocked (exact within blocks →
+    // fully oracled; threshold 0.3 catches the natural similar tail of
+    // the synthetic vectors).
+    Q("embedding_near_dup_by_label",
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_inner_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, id1, id2, cos FROM scored
+        |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3).orderBy("id1", "id2")
+    },
+    // Embedding-cosine near-dup via multi-table LSH over planted
+    // perturbed copies (approximate; recall asserted in NearDupSpec).
+    Q.noOracle("embedding_near_dup_lsh") { (s, d) =>
+      embeddingNearDupLsh(withPlantedEmbeddingDups(Tables.embeddings(s, d)), 0.8)
+        .orderBy("id1", "id2")
     },
     Q.noOracle("simhash_near_dup_pairs") { (s, d) =>
       simhashPairs(withPlantedDups(Tables.documents(s, d)), 16)

@@ -80,6 +80,40 @@ object Similarity {
       when(dot(v, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Norm-annotated double vectors + (id, table, bucket) LSH postings —
+    * shared by [[annTopK]] and [[lshCandidatePairs]]. */
+  private[operators] def vectorsAndPostings(emb: DataFrame, nPlanes: Int, nTables: Int)
+      : (DataFrame, DataFrame) = {
+    val allPlanes = hyperplanes(nPlanes * nTables, 64)
+    def sigStructs(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        lshSignature(v, allPlanes.slice(t * nPlanes, (t + 1) * nPlanes)).as("sig"))
+    }: _*)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+    val postings = v.select(col("vec_id"), explode(sigStructs(col("v"))).as("b"))
+      .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
+    (v, postings)
+  }
+
+  /** All-corpus candidate pairs from the multi-table LSH postings, with
+    * exact cosine attached (the verify step). The pair join is bucket-
+    * local — never all-pairs — and the distinct collapses multi-table
+    * collisions before the (expensive) vector re-attach. */
+  def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 5, nTables: Int = 12): DataFrame = {
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables)
+    val a = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id1"))
+    val b = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id2"))
+    val cand = a.join(b, Seq("lsh_t", "lsh_sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(v.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21")), "id1")
+      .join(v.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22")), "id2")
+      .select(col("id1"), col("id2"),
+        round(dot(col("v1"), col("v2")) / (sqrt(col("n21")) * sqrt(col("n22"))), 6).as("cos"))
+  }
+
   /** X3 scale path: multi-table LSH approximate top-k (OR
     * amplification: `nTables` independent hash tables of `nPlanes` sign
     * bits each; a corpus vector is a candidate if it shares a bucket
@@ -89,16 +123,7 @@ object Similarity {
     * [[cosineTopK]] is asserted in SimilaritySpec. */
   def annTopK(emb: DataFrame, nQ: Int, k: Int,
               nPlanes: Int = 5, nTables: Int = 12): DataFrame = {
-    val allPlanes = hyperplanes(nPlanes * nTables, 64)
-    def sigStructs(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("t"),
-        lshSignature(v, allPlanes.slice(t * nPlanes, (t + 1) * nPlanes)).as("sig"))
-    }: _*)
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", norm2(col("v")))
-    // (id, table, bucket) postings — one row per table per vector
-    val postings = v.select(col("vec_id"), explode(sigStructs(col("v"))).as("b"))
-      .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables)
     val qPost = postings.filter(col("vec_id") < nQ)
       .withColumnRenamed("vec_id", "q_id")
     val cand = postings.filter(col("vec_id") >= nQ)

@@ -78,6 +78,17 @@ class NearDupSpec extends AnyFunSuite {
     assert(planted.size >= 45, s"only ${planted.size}/50 planted pairs found")
   }
 
+  test("embedding LSH near-dup: planted perturbed copies are recovered") {
+    val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val pairs = NearDup.embeddingNearDupLsh(NearDup.withPlantedEmbeddingDups(emb), 0.8)
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 100000)
+    assert(planted.length >= 36, s"only ${planted.length}/40 planted embedding dups found")
+    planted.foreach { case (_, _, c) => assert(c >= 0.8 && c <= 1.0) }
+    // and nothing from the random tail sneaks past the 0.8 verify
+    assert(pairs.forall(_._3 >= 0.8))
+  }
+
   test("LSH bucket cap drops degenerate buckets, not normal ones") {
     // 200 identical docs → one bucket of 200 > maxBucket(64) → no pairs
     val degenerate = (0L until 200L).map(i => (i, "same text for every doc here"))
