@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = Similarity.cosineTopK(emb, nQ = 8, k = 10)
       .as[(Long, Int, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
-    val ann = Similarity.annTopK(emb, nQ = 8, k = 10, nPlanes = 8)
+    val ann = Similarity.annTopK(emb, nQ = 8, k = 10)
       .as[(Long, Int, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     // every ANN hit must be a real vector; recall averaged over queries
