@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++
-      operators.TimeWindows.all
+      operators.TimeWindows.all ++
+      operators.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics-surface extensions beyond the §2b core: statistical
+  * aggregates, pivot, SQL subqueries (scalar + EXISTS), string-distance
+  * pairs, and two TPC-H-style multi-join showcase queries that exercise
+  * the optimizer across the whole star schema.
+  *
+  * Determinism rule for second-moment statistics: stddev/variance/corr
+  * builtins accumulate doubles in engine-specific order — instead every
+  * statistic here is spelled out from EXACT DECIMAL power sums
+  * (sum x, sum x², sum xy over 2dp inputs are exact at DECIMAL(38,4)),
+  * so both engines do the identical final double arithmetic. This is
+  * also the 100 TB-reproducibility posture: results don't depend on
+  * shuffle arrival order.
+  */
+object Analytics {
+
+  private val d2 = DecimalType(18, 2)
+  private val d4 = DecimalType(38, 4)
+
+  def all: Seq[Q] = Seq(
+
+    // Statistical aggregates per returnflag: variance, stddev, corr,
+    // covariance, median — from exact power sums (see scaladoc).
+    Q("stat_aggregates",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sqp,
+        |    median(l_quantity) AS med_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS std_qty,
+        |  round((sqp - sq * sp / n) / (n - 1), 6) AS cov_qp,
+        |  round((n * sqp - sq * sp)
+        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 9) AS corr_qp,
+        |  med_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      val st = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q.cast(d2)).cast("double").as("sq"),
+          sum(p.cast(d2)).cast("double").as("sp"),
+          sum((q * q).cast(d4)).cast("double").as("sqq"),
+          sum((p * p).cast(d4)).cast("double").as("spp"),
+          sum((q * p).cast(d4)).cast("double").as("sqp"),
+          median(q).as("med_qty"))
+      st.select(col("l_returnflag"), col("n"),
+        round((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1), 6).as("var_qty"),
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6).as("std_qty"),
+        round((col("sqp") - col("sq") * col("sp") / col("n")) / (col("n") - 1), 6).as("cov_qp"),
+        round((col("n") * col("sqp") - col("sq") * col("sp"))
+          / (sqrt(col("n") * col("sqq") - col("sq") * col("sq"))
+            * sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 9).as("corr_qp"),
+        col("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Pivot: events per user × event_type (fixed column list so the
+    // output schema is static; absent combos are NULL in both engines —
+    // Spark pivot-count of an empty subset, SQL SUM(CASE) of none).
+    Q("pivot_events_by_type",
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy("user_id")
+    },
+
+    // Correlated scalar subquery (Catalyst decorrelates to an aggregate
+    // + join): orders beating their customer's average price. Entry
+    // point B — subqueries are SQL-surface constructs.
+    Q("subquery_scalar",
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT o.o_orderkey, o.o_totalprice
+              |FROM orders o
+              |WHERE o.o_totalprice > (
+              |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o.o_orderkey""".stripMargin)
+    },
+
+    // EXISTS / NOT EXISTS correlated subqueries (plan: semi + anti join).
+    Q("subquery_exists",
+      """SELECT c.c_custkey, c.c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') AS has_open
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT c.c_custkey, c.c_name,
+              |  EXISTS (SELECT 1 FROM orders o
+              |          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') AS has_open
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // String-distance pairs (fuzzy-dedup verify step): levenshtein over
+    // bounded prefixes of adjacent docs — edit distance is O(len²),
+    // so real pipelines always bound the operand length.
+    Q("edit_distance_adjacent",
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("id1"), substring(col("text"), 1, 40).as("t1"))
+      val b = docs.select(col("doc_id").as("id2"), substring(col("text"), 1, 40).as("t2"))
+      a.join(b, col("id1") + 1 === col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
+        .orderBy("id1")
+    },
+
+    // TPC-H Q3-style: segment-filtered customer ⋈ orders ⋈ lineitem,
+    // revenue per order. Dims broadcast, facts sort-merge — the planner
+    // choices PlanAuditSpec pins for the star schema.
+    Q("tpch_q3ish",
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(rev.cast(DecimalType(28, 4))).cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q5-style: full star traversal (region → nation → customer →
+    // orders → lineitem ⋈ supplier with co-nation constraint), revenue
+    // per nation.
+    Q("tpch_q5ish",
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      broadcast(Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE")))
+        .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(rev.cast(DecimalType(28, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+  )
+}
