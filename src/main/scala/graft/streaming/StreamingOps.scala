@@ -82,6 +82,20 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** G21+G24: append a stream to parquet files with exactly-once file
+    * commits via the checkpointed write-ahead log — the durable landing
+    * path of a streaming ingest (restart-safe: offsets + file manifest
+    * live in the checkpoint). */
+  def writeStreamParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** G23: stateful streaming dedup by event_id within the watermark —
     * exactly-once semantics for at-least-once sources whose duplicates
     * arrive within the lateness bound (state is evicted past it, unlike

@@ -57,6 +57,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(StreamingOps.sessionCounts(batchEvents)))
   }
 
+  test("G21+G24 streaming parquet sink: checkpointed append equals batch read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val out = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = StreamingOps.writeStreamParquet(
+      StreamingOps.readEventsStream(spark, SparkTestSession.sf0001), out, ckpt)
+    q.awaitTermination(120000)
+    assert(sortedRows(spark.read.parquet(out)) == sortedRows(batchEvents))
+    // restart with the same checkpoint: no new data → no duplicate rows
+    val q2 = StreamingOps.writeStreamParquet(
+      StreamingOps.readEventsStream(spark, SparkTestSession.sf0001), out, ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == batchEvents.count())
+  }
+
   test("G23 streaming dedup: duplicate event_ids within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
