@@ -11,15 +11,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Absorb session warmup (codegen, parquet footer reads, executor
+    // spin-up) before the first timed query — otherwise whichever query
+    // happens to run first is charged ~10 s of one-time cost.
+    SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: fully materializes every row and column (sorts run,
       // scalar columns evaluate) with zero serialization/disk cost.
       // A bare count() would let Catalyst eliminate top-level ORDER BYs
       // and prune all computed columns — under-measuring the query.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A throwing query records -1 (never a plausible-looking time).
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,7 +26,8 @@ object SparkEntry {
       operators.NearDup.all ++
       operators.Multimodal.all ++
       operators.TimeWindows.all ++
-      operators.Analytics.all
+      operators.Analytics.all ++
+      operators.PiiScrub.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
