@@ -65,6 +65,21 @@ object TimeWindows {
         .orderBy("window_start")
     },
 
+    // G22+: the stream-stream interval join's batch form (the SAME
+    // expressions StreamingOps.purchaseClickJoin runs incrementally with
+    // two-sided watermark state eviction).
+    Q("stream_join_batch_form",
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p
+        |JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      StreamingOps.purchaseClickJoin(Tables.events(s, d))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // G22c: session windows (30m gap) per user. Oracle is the classic
     // gaps-and-islands rewrite: a session break is a gap >= 30m (Spark
     // merges an event only when it lands STRICTLY inside [start,

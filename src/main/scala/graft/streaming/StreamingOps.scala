@@ -96,6 +96,31 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** G22+: stream-stream inner join — purchases matched to the same
+    * user's clicks from the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * (unbounded-state-safe, the stream-stream join contract). Works
+    * identically on batch inputs (same expressions; the time-range
+    * predicate becomes a plain theta join). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("click_user")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** G23: stateful streaming dedup by event_id within the watermark —
     * exactly-once semantics for at-least-once sources whose duplicates
     * arrive within the lateness bound (state is evicted past it, unlike

@@ -72,6 +72,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == batchEvents.count())
   }
 
+  test("G22+ stream-stream interval join: streaming == batch") {
+    val got = runToMemory(
+      StreamingOps.purchaseClickJoin(
+        StreamingOps.readEventsStream(spark, SparkTestSession.sf0001)), "append")
+    val want = StreamingOps.purchaseClickJoin(batchEvents)
+    assert(got.count() > 0, "join must produce matches on the test data")
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
   test("G23 streaming dedup: duplicate event_ids within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
