@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** X1a: collapse exact duplicates by content hash; keeper = min id.
-    * One shuffle on the hash. */
+    * One shuffle — and the shuffle KEY is the 16-byte hash, never the
+    * full text: at 100 TB shuffling document bodies as group keys
+    * multiplies network cost by the average doc size. */
   def exactByContent(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
@@ -53,7 +55,10 @@ object Dedup {
     // X1 row-form: the surviving rows themselves (oracle is the
     // row_number()=1 formulation per SURVEY.md §2b X1; the Spark plan is
     // the same min-struct aggregate self-joined back — equal results,
-    // no low-cardinality window).
+    // no low-cardinality window). Grouping key here is the raw text for
+    // letter-exact semantics vs the oracle; the 100 TB form groups by
+    // content hash instead (dedup_exact above) — same answer modulo
+    // 2^-64 collision odds, at a fraction of the shuffle bytes.
     Q("dedup_rows",
       """SELECT doc_id, lang, source
         |FROM documents

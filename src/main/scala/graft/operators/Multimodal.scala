@@ -114,7 +114,7 @@ object Multimodal {
           (sum(col("l2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .cast("double") / count(lit(1))).as("avg_l2"))
         .orderBy("lang", "label")
-    },
+    }.copy(headline = true),
 
     // Binary media plumbing (no SQL oracle — mapPartitions decode;
     // values pinned by MultimodalSpec instead).

@@ -158,7 +158,7 @@ object NearDup {
     Q.noOracle("minhash_near_dup_pairs") { (s, d) =>
       minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5)
         .orderBy("id1", "id2")
-    },
+    }.copy(headline = true),
     Q.noOracle("simhash_signatures") { (s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
     },

@@ -168,7 +168,7 @@ object Similarity {
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
       cosineTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
-    },
+    }.copy(headline = true),
 
     // X3 scale path: LSH-bucketed ANN (approximate — no SQL oracle;
     // recall vs the exact path is asserted in SimilaritySpec).

@@ -70,7 +70,7 @@ object TextAnalysis {
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       tfidf(Tables.documents(s, d))
-    },
+    }.copy(headline = true),
 
     // X5: per-language corpus stats (lang breakdown). Exact integer
     // sums; averages are one double division at the end in both engines.
