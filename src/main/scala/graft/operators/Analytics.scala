@@ -69,6 +69,25 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    // Approximate quantiles (no SQL oracle — sketch internals are
+    // engine-specific; AnalyticsSpec bounds the error vs the exact
+    // percentiles). At 100 TB this replaces median/percentile's full
+    // shuffle with a fixed-size mergeable sketch per partition — the
+    // same partial/final shape as any aggregate.
+    Q.noOracle("approx_quantiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"), element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"), element_at(col("q"), 4).as("p95"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Pivot: events per user × event_type (fixed column list so the
     // output schema is static; absent combos are NULL in both engines —
     // Spark pivot-count of an empty subset, SQL SUM(CASE) of none).
