@@ -82,6 +82,19 @@ object Joins {
         .orderBy("o_orderkey")
     },
 
+    // G13: RIGHT OUTER — the mirror of join_left_outer (every lineitem
+    // keeps its row even when the filtered left side drops its order).
+    Q("join_right_outer",
+      """SELECT l_orderkey, l_linenumber, o_orderstatus
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |RIGHT JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY l_orderkey, l_linenumber, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "right")
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus").asc_nulls_first)
+    },
+
     // G13: LEFT SEMI (EXISTS) — customers that placed at least one order.
     Q("join_semi",
       """SELECT c_custkey, c_name FROM customer
@@ -168,6 +181,24 @@ object Joins {
         ev, ev.filter(col("event_type") === "purchase"),
         key = "user_id", leftTs = "ts", rightTs = "ts")
         .select("event_id", "asof_ts")
+        .orderBy("event_id")
+    },
+
+    // G13 as-of with PAYLOAD carry: each event gets the value of the
+    // most recent prior purchase (ties at equal ts broken by the
+    // (ts, value) struct order — mirrored by the oracle's ORDER BY).
+    Q("join_asof_payload",
+      """SELECT e.event_id,
+        |  (SELECT p.value FROM events p
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |     AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.value DESC LIMIT 1) AS asof_value
+        |FROM events e ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      AsOfJoin.join(
+        ev, ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+        key = "user_id", leftTs = "ts", rightTs = "ts", payload = Seq("value"))
+        .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
     },
 

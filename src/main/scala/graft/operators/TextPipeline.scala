@@ -64,6 +64,10 @@ object TextPipeline {
     Q("ngram5_count", ngramCountSql(5)) { (s, d) =>
       ngramCount(Tables.documents(s, d), "text", 5)
     },
+    // n=6: the reference's run.sh invocation (reference/run.sh:4)
+    Q("ngram6_count", ngramCountSql(6)) { (s, d) =>
+      ngramCount(Tables.documents(s, d), "text", 6)
+    },
     // Entry point B (SURVEY.md §3.3): the same flagship through
     // spark.sql over registered views, with the native ngrams
     // expression registered as a SQL function and exploded as a
