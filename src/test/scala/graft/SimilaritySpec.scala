@@ -31,8 +31,8 @@ class SimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb, nQ = 8, k = 10)
       .as[(Long, Int, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
-    // every ANN hit must be a real vector; recall averaged over queries
-    // is necessarily partial (single-probe LSH) but must be non-trivial
+    // recall averaged over queries is necessarily partial (bucketed
+    // LSH on near-random vectors) but must be non-trivial
     val recalls = exact.map { case (q, ids) =>
       ann.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
     val mean = recalls.sum / recalls.size
