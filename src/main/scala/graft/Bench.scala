@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every registered query at
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * Protocol (hardened in round 4 after rounds 2–3 proved the naive form
+  * untrustworthy):
+  *   1. WARM EVERY TABLE — one full noop scan per driver table before any
+  *      timing. One-time session costs (parquet footer reads, vectorized
+  *      reader init, first-codegen) otherwise land on whichever query
+  *      first touches a table: under byte-identical code the same ~10 s
+  *      landed on `agg_pricing_summary` in round 2 and `multimodal_join`
+  *      in round 3.
+  *   2. MEDIAN OF 3 RUNS per query, queries in sorted-name order — a
+  *      single-run figure cannot distinguish a real regression from the
+  *      3–8× run-to-run noise measured across rounds 2–3. Per-run times
+  *      go to stderr for drill-down; the JSON carries the medians.
+  */
 object Bench {
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,28 +30,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Absorb session warmup (codegen, parquet footer reads, executor
-    // spin-up) before the first timed query — otherwise whichever query
-    // happens to run first is charged ~10 s of one-time cost.
-    SparkEntry.queries.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: fully materializes every row and column (sorts run,
-      // scalar columns evaluate) with zero serialization/disk cost.
-      // A bare count() would let Catalyst eliminate top-level ORDER BYs
-      // and prune all computed columns — under-measuring the query.
-      // A throwing query records -1 (never a plausible-looking time).
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+
+    graft.sources.Tables.names.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
       }
     }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = Seq.fill(Reps) {
+        val t0 = System.nanoTime()
+        // noop sink: fully materializes every row and column (sorts run,
+        // scalar columns evaluate) with zero serialization/disk cost.
+        // A bare count() would let Catalyst eliminate top-level ORDER BYs
+        // and prune all computed columns — under-measuring the query.
+        // A throwing run records -1 (never a plausible-looking time).
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      // -1 (failed run) sorts first, so the median stays a real time
+      // unless a majority of runs failed.
+      val median = times.sorted.apply(Reps / 2)
+      System.err.println(f"[bench] $name%-32s median=$median%8.3f  runs=" +
+        times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+      name -> math.rint(median * 1000) / 1000
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = math.rint(results.map(_._2).sum * 1000) / 1000
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -187,6 +187,72 @@ object Analytics {
         .limit(20)
     },
 
+    // TPC-H Q17-style: correlated aggregate subquery against the fact
+    // table itself — revenue from "small-quantity" lineitems, where the
+    // quantity cutoff is 20% of that part's own average quantity.
+    // Catalyst decorrelates the per-part average into a separate
+    // aggregate + join on l_partkey (no per-row re-aggregation, no
+    // cartesian — PlanAuditSpec pins this). The avg is spelled
+    // sum(DECIMAL)/count so both engines do identical arithmetic.
+    Q("tpch_q17ish",
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS low_qty_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 10
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT p.p_brand,
+              |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS low_qty_revenue,
+              |  COUNT(*) AS n_items
+              |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              |WHERE p.p_size <= 10
+              |  AND l.l_quantity < (
+              |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+              |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+              |GROUP BY p.p_brand
+              |ORDER BY p_brand""".stripMargin)
+    },
+
+    // TPC-H Q20-style: nested IN over an aggregate subquery — suppliers
+    // who shipped an above-average total quantity of 'red%' parts. The
+    // inner HAVING threshold is itself an uncorrelated scalar aggregate
+    // subquery (scale-relative, so the query stays selective at every
+    // SF). Plan: the IN collapses to a semi join over the aggregated
+    // fact subquery; the scalar threshold is computed once and
+    // broadcast.
+    Q("tpch_q20ish",
+      """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l.l_suppkey
+        |  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+        |    SELECT 1.1 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(DISTINCT l2.l_suppkey)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')))
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT s.s_suppkey, s.s_name, s.s_acctbal
+              |FROM supplier s
+              |WHERE s.s_suppkey IN (
+              |  SELECT l.l_suppkey FROM lineitem l
+              |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |  GROUP BY l.l_suppkey
+              |  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+              |    SELECT 1.1 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              |           / COUNT(DISTINCT l2.l_suppkey)
+              |    FROM lineitem l2
+              |    WHERE l2.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')))
+              |ORDER BY s_suppkey""".stripMargin)
+    },
+
     // TPC-H Q5-style: full star traversal (region → nation → customer →
     // orders → lineitem ⋈ supplier with co-nation constraint), revenue
     // per nation.

@@ -38,7 +38,13 @@ object NearDup {
   /** Banded-LSH candidate pairs + signature-agreement similarity
     * estimate, thresholded. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // Materialize signatures once: they feed three plan branches (the
+    // bucket-size guard plus both sides of the band self-join), which
+    // would each re-run the shingle-explode × K-hash × UDAF pipeline —
+    // the expensive part of the whole query. Same pattern as
+    // Similarity.vectorsAndPostings; a persisted signature table at
+    // cluster scale.
+    val sigs = minhashSignatures(docs).localCheckpoint()
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         i => struct(i.as("band"), xxhash64(slice(col("sig"), i * R + 1, lit(R))).as("bsig")))).as("b"))
@@ -72,7 +78,8 @@ object NearDup {
     * one chunk… for distance ≤ 3 over 4 chunks — pigeonhole), verify
     * with exact Hamming distance via bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    // Materialized once for the same three-branch reason as minhashPairs.
+    val sigs = simhashSignatures(docs).localCheckpoint()
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),

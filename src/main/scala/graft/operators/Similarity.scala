@@ -102,6 +102,18 @@ object Similarity {
       .withColumn("n2", norm2(col("v")))
     val postings = v.select(col("vec_id"), explode(sigStructs(col("v"))).as("b"))
       .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
+      // Materialize the postings ONCE before callers self-join them.
+      // Both branches of the (table, bucket) self-join would otherwise
+      // carry their own copy of the signature subtree — the unrolled
+      // hyperplane dots get planned and Janino-compiled per branch,
+      // measured at ~80% of embedding_near_dup_lsh / ann_lsh_topk time
+      // in rounds 2–3. After the checkpoint both branches scan the same
+      // computed blocks: one signature pass, one compile. (Postings are
+      // 3 longs/row × nTables — tiny next to the vectors. At cluster
+      // scale this is a persisted/bucketed postings TABLE, written once
+      // and reused across queries; localCheckpoint is the single-job
+      // equivalent.)
+      .localCheckpoint()
     (v, postings)
   }
 

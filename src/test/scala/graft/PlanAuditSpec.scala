@@ -54,6 +54,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("Q17/Q20 decorrelation: aggregate+join shape, no cartesian, no per-row re-agg") {
+    val q17 = plan("tpch_q17ish")
+    assert(!q17.contains("CartesianProduct") && !q17.contains("BroadcastNestedLoopJoin"),
+      "correlated avg must decorrelate to an equi-join on l_partkey")
+    assert(q17.contains("partial_sum") || q17.contains("partial_avg"),
+      "per-part average must be a map-side-combined aggregate")
+    val q20 = plan("tpch_q20ish")
+    assert(!q20.contains("CartesianProduct"),
+      "nested IN must become semi joins, never a cartesian")
+    assert(q20.contains("LeftSemi"), "IN list must plan as a semi join")
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     assert(plan("top_k_orders").contains("TakeOrderedAndProject"))
   }
