@@ -13,10 +13,23 @@ import org.apache.spark.sql.types.IntegerType
   */
 object GraftFunctions {
 
+  /** Constant integer argument: any FOLDABLE integer expression is
+    * accepted (`3`, `1 + 2`, `CAST('3' AS INT)`…) and folded at
+    * resolution time — the reference parameterizes n at the CLI
+    * (reference/WordCount.java:129-136), so the SQL surface must take
+    * any constant expression a caller substitutes in, not only a bare
+    * literal. Non-constant (per-row) n stays rejected: the expressions
+    * are planned with a fixed n. */
   private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval() match {
+        case v: Int => v
+        case null => throw new IllegalArgumentException(
+          s"$fn argument $pos must not be null")
+      }
     case other => throw new IllegalArgumentException(
-      s"$fn argument $pos must be an integer literal, got $other")
+      s"$fn argument $pos must be a constant integer expression, got $other")
   }
 
   private val ngramsInfo = new ExpressionInfo(

@@ -73,34 +73,25 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Bit-signature column: bit j = (v · plane_j) > 0, fully unrolled
-    * into codegen (see the tradeoff note in [[vectorsAndPostings]]). */
-  private[graft] def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** Norm-annotated double vectors + (id, table, bucket) LSH postings —
     * shared by [[annTopK]] and [[lshCandidatePairs]]. */
-  private[operators] def vectorsAndPostings(emb: DataFrame, nPlanes: Int, nTables: Int)
-      : (DataFrame, DataFrame) = {
-    // Unrolled codegen'd dot products (plane coordinates are literals in
-    // the generated Java). nPlanes × nTables is kept small (default
-    // 4 × 8): the generated code size — hence Janino compile time — is
-    // linear in plane count, and OR-amplified recall at 4×8 matches
-    // 5×12 within a few points. (A nested-HOF "matrix" form was tried:
-    // constant-size expression tree, but lambda-in-lambda evaluation per
-    // row ran ~10× slower than the straight-line codegen — unrolled
-    // literals are the right call.)
-    val allPlanes = hyperplanes(nPlanes * nTables, 64)
-    def sigStructs(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("t"),
-        lshSignature(v, allPlanes.slice(t * nPlanes, (t + 1) * nPlanes)).as("sig"))
-    }: _*)
+  private[operators] def vectorsAndPostings(emb: DataFrame, nPlanes: Int, nTables: Int,
+                                            seed: Long = 42L): (DataFrame, DataFrame) = {
+    // All nTables signatures come from ONE native expression call
+    // (graft.functions.LshSigsExpr): a single pass over the vector with
+    // primitive-array loops, and ~10 lines of generated Java regardless
+    // of plane count. Two earlier forms both lost: fully-unrolled
+    // per-plane column dots made Janino compile time linear in
+    // nPlanes × nTables (~80% of query wall time in rounds 2–3), and a
+    // nested-HOF "matrix" form kept the plan small but evaluated
+    // lambda-in-lambda per row, ~10× slower. The native expression is
+    // both small-plan AND tight-loop, which also frees the config to
+    // use more tables for recall (defaults tuned by RecallSweep).
+    val flatPlanes = hyperplanes(nPlanes * nTables, 64, seed).flatten.toArray
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", norm2(col("v")))
-    val postings = v.select(col("vec_id"), explode(sigStructs(col("v"))).as("b"))
+    val postings = v.select(col("vec_id"),
+        explode(graft.functions.LshSigsEval(col("v"), flatPlanes, nPlanes, nTables)).as("b"))
       .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
       // Materialize the postings ONCE before callers self-join them.
       // Both branches of the (table, bucket) self-join would otherwise
@@ -121,7 +112,14 @@ object Similarity {
     * exact cosine attached (the verify step). The pair join is bucket-
     * local — never all-pairs — and the distinct collapses multi-table
     * collisions before the (expensive) vector re-attach. */
-  def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+  def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    // Near-dup defaults differ from annTopK's (6×24): pair mining only
+    // has to catch HIGH-cosine pairs (≈0.93 planted dups → per-plane
+    // sign agreement ≈0.88, per-table 0.88⁸≈0.36, miss over 8 tables
+    // 0.64⁸≈3%), so more planes + fewer tables shrink buckets (2⁸ per
+    // table) and cut candidate-pair volume ~10× vs the top-k config,
+    // whose 0.5-recall target on mid-cosine neighbors needs the wider
+    // 6-bit buckets and heavier OR amplification.
     val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables)
     val a = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id1"))
     val b = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id2"))
@@ -143,8 +141,8 @@ object Similarity {
     * drops from |corpus| to the matched-bucket union. Recall vs
     * [[cosineTopK]] is asserted in SimilaritySpec. */
   def annTopK(emb: DataFrame, nQ: Int, k: Int,
-              nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables)
+              nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L): DataFrame = {
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, seed)
     val qPost = postings.filter(col("vec_id") < nQ)
       .withColumnRenamed("vec_id", "q_id")
     val cand = postings.filter(col("vec_id") >= nQ)

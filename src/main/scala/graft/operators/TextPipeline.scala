@@ -78,6 +78,18 @@ object TextPipeline {
       s.sql("""SELECT ngram, count(*) AS cnt
               |FROM (SELECT explode(ngrams(text, 2)) AS ngram FROM documents)
               |GROUP BY ngram ORDER BY ngram""".stripMargin)
+    },
+    // `n` as a foldable CONSTANT EXPRESSION rather than a bare literal
+    // (`1 + 1` folds at resolution) — parity with the reference's
+    // CLI-substituted n (reference/WordCount.java:129-136), where the
+    // caller-supplied value lands in the SQL text in whatever constant
+    // form the templating produced.
+    Q("sql_entry_ngrams_fold", ngramCountSql(2)) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.registerViews(s, d)
+      s.sql("""SELECT ngram, count(*) AS cnt
+              |FROM (SELECT explode(ngrams(text, 1 + 1)) AS ngram FROM documents)
+              |GROUP BY ngram ORDER BY ngram""".stripMargin)
     }
   )
 }

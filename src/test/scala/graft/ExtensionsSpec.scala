@@ -21,12 +21,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pid == 6)
   }
 
-  test("non-literal n is rejected with a clear error") {
+  test("foldable constant n is accepted; per-row n is rejected with a clear error") {
     GraftFunctions.register(spark)
+    // any CONSTANT expression folds at resolution: arithmetic, functions
+    // of literals, casts — the reference's CLI-substituted n in whatever
+    // form it lands in the SQL text (WordCount.java:129-136)
+    val g1 = spark.sql("SELECT explode(ngrams('a b c', 1 + 1)) AS g").as[String].collect().toSeq
+    assert(g1 == Seq("a b", "b c"))
+    val g2 = spark.sql("SELECT explode(ngrams('a b c', length('xx'))) AS g").as[String].collect().toSeq
+    assert(g2 == Seq("a b", "b c"))
+    // a column reference is per-row, not plannable as a fixed n
     val e = intercept[Exception] {
-      spark.sql("SELECT ngrams('a b', length('xx')) AS g").collect()
+      spark.sql("SELECT ngrams('a b', n) AS g FROM VALUES (2) AS t(n)").collect()
     }
-    assert(e.getMessage.contains("integer literal"))
+    assert(e.getMessage.contains("constant integer expression"))
   }
 
   test("ApproxDistinctRewrite: off by default, flag flips exact distinct to HLL") {

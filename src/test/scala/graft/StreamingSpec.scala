@@ -72,6 +72,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == batchEvents.count())
   }
 
+  test("G24 checkpoint-restart: kill mid-stream, resume, output is exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-restart")
+    val in = base.resolve("in").toString
+    val out = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    // 12 single-file micro-batches so a stop() after the first committed
+    // batches lands mid-stream (not after completion)
+    batchEvents.repartition(12).write.parquet(in)
+    val want = sortedRows(spark.read.parquet(in))
+    def src = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+
+    // run 1: hard-stop as soon as ≥2 batches have committed — an
+    // interrupted batch's files are written but NOT committed to the
+    // sink's _spark_metadata manifest, which is what spark.read goes
+    // through, so the kill itself must not surface partial output
+    val q1 = StreamingOps.writeStreamParquet(src, out, ckpt)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && q1.recentProgress.count(_.numInputRows > 0) < 2
+        && System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination(120000)
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill <= batchEvents.count(),
+      "manifest must never expose more than the committed rows")
+
+    // run 2: same checkpoint — resumes from the logged offsets and
+    // processes exactly the unconsumed remainder
+    val q2 = StreamingOps.writeStreamParquet(src, out, ckpt)
+    q2.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(sortedRows(got) == want, "exactly-once: no lost and no duplicated rows")
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
   test("G22+ stream-stream interval join: streaming == batch") {
     val got = runToMemory(
       StreamingOps.purchaseClickJoin(
