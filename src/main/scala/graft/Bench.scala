@@ -40,6 +40,12 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // One untimed execution first: whole-stage codegen for THIS query's
+      // plan compiles on first run (table warmup can't reach it) — without
+      // this, run 1 reads ~2-4x slower than runs 2-3 on otherwise-stable
+      // queries and the per-run spread looks like noise it isn't.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // timed runs below report it
       val times = Seq.fill(Reps) {
         val t0 = System.nanoTime()
         // noop sink: fully materializes every row and column (sorts run,
