@@ -158,6 +158,88 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("q_id", "rank")
   }
 
+  /** Nearest centroid per vector: min squared L2 distance with
+    * centroid-id tiebreak. Centroids ride as a BROADCAST (they are at
+    * most `nClusters` rows), so assignment is one scan of the vector
+    * side — the shape that holds at any corpus size. */
+  private def assignClusters(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((col("n2") + col("cn2") - lit(2) * dot(col("v"), col("c"))).as("d2"),
+          col("cluster")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("dc"))
+      .select(col("vec_id"), col("dc.cluster").as("cluster"))
+
+  /** IVF coarse quantizer: k-means centroids from `iters` Lloyd rounds,
+    * entirely as DataFrame ops — assignment is the broadcast join above,
+    * the update a per-dimension mean via posexplode (64× row blowup on a
+    * one-off training pass; at cluster scale training runs on a
+    * deterministic sample, not the full corpus). No driver collect
+    * anywhere: the new centroid table is localCheckpoint'd each round,
+    * which both truncates the iterative lineage and keeps the broadcast
+    * input computed-once (the persisted-table equivalent of a saved
+    * index). Clusters that lose all members drop out (k may shrink) —
+    * harmless for ANN probing. Init is the first k corpus vectors. */
+  private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = v.limit(k)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).as("cluster"),
+        col("v").as("c"), col("n2").as("cn2"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      cents = assignClusters(v, cents)
+        .join(v, "vec_id")
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("x"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cluster"),
+          transform(col("px"), p => p.getField("x")).as("c"))
+        .withColumn("cn2", norm2(col("c")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** X3 scale path #2: IVF (inverted-file) approximate top-k — the
+    * k-means counterpart to [[annTopK]]'s LSH. Corpus vectors are
+    * bucketed by nearest coarse centroid (the postings list, a persisted
+    * table at scale); each query probes its `nProbe` nearest clusters
+    * and rescores exactly inside them. Candidate generation is an
+    * equi-join on `cluster` — per-query cost falls from |corpus| to the
+    * probed clusters' population (~nProbe/nClusters of the corpus).
+    * `nProbe = nClusters` degenerates to exact search — SimilaritySpec
+    * uses that as a correctness control, plus a recall bound at the
+    * default operating point. */
+  def ivfTopK(emb: DataFrame, nQ: Int, k: Int, nClusters: Int = 12,
+              nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    // 12/4 default picked by IvfSweep: mean top-10 recall 0.65 at a 1/3
+    // probe fraction (16/4 sat at 0.49; wider probes buy recall roughly
+    // linearly in candidates scanned).
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+    val corpus = v.filter(col("vec_id") >= nQ)
+    val cents = kmeansCentroids(corpus, nClusters, iters)
+    val postings = assignClusters(corpus, cents)
+    // nProbe nearest centroids per query: |queries| × k rows, tiny
+    val probes = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", col("qn2") + col("cn2") - lit(2) * dot(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cluster"))))
+      .filter(col("pr") <= nProbe)
+      .select("q_id", "cluster")
+    val q = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = probes.join(postings, "cluster")
+      .select("q_id", "vec_id")
+      .join(v, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+    topKPerQuery(scored, k).orderBy("q_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(
 
     // X3: exact cosine top-10 for 8 query vectors (oracled — identical
@@ -184,6 +266,13 @@ object Similarity {
     // recall vs the exact path is asserted in SimilaritySpec).
     Q.noOracle("ann_lsh_topk") { (s, d) =>
       annTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+    },
+
+    // X3 scale path #2: IVF-bucketed ANN (approximate — no SQL oracle;
+    // exactness at full probe width + recall at the default operating
+    // point are asserted in SimilaritySpec).
+    Q.noOracle("ann_ivf_topk") { (s, d) =>
+      ivfTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
     }
   )
 }

@@ -104,6 +104,19 @@ object TimeWindows {
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       StreamingOps.sessionCounts(Tables.events(s, d))
         .orderBy("user_id", "session_start")
+    },
+
+    // G23+: batch form of the mapGroupsWithState per-user profile
+    // (no-oracle: the custom accumulator sums doubles in stream arrival
+    // order, which no SQL engine reproduces bit-for-bit; incremental
+    // multi-batch ≡ batch equivalence is asserted in StreamingSpec).
+    Q.noOracle("user_profiles_stateful") { (s, d) =>
+      import s.implicits._
+      StreamingOps.userProfiles(
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+          .as[(Long, Long, Double)])
+        .orderBy("user_id").toDF()
     }
   )
 }

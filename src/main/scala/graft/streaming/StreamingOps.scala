@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
+
+/** Accumulator for [[StreamingOps.userProfiles]] — timestamps carried
+  * as epoch micros so the state encoder is all primitives. */
+case class ProfileState(n_events: Long, total_value: Double,
+                        first_ts_us: Long, last_ts_us: Long)
+
+/** Snapshot emitted by [[StreamingOps.userProfiles]] per key per
+  * micro-batch (update mode): the profile as of that batch. */
+case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+                       first_ts_us: Long, last_ts_us: Long)
 
 /** Structured Streaming surface over `events` (SURVEY.md §2b G21–G23,
   * entry point C of §3.4).
@@ -119,6 +130,38 @@ object StreamingOps {
         && col("click_ts") <= col("purchase_ts")
         && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
+  /** G23+: custom per-key state via `mapGroupsWithState` — the one
+    * stateful shape no built-in expresses: an arbitrary user-defined
+    * accumulator updated incrementally per micro-batch. Here it is a
+    * per-user profile (event count, total value, first/last seen) whose
+    * fresh snapshot is emitted in UPDATE mode each batch the key
+    * appears. The same function runs on a batch Dataset (one batch,
+    * empty initial state), so batch ≡ stream is testable row-for-row.
+    *
+    * Scale posture: state lives in the per-partition state store keyed
+    * by user hash — sharded exactly like a keyed shuffle, no driver
+    * state. Key cardinality (users) bounds the store; an unbounded key
+    * domain would instead use `GroupStateTimeout.EventTimeTimeout` with
+    * the input's watermark to evict idle keys.
+    *
+    * Input: (user_id, ts epoch-micros, value) — see the call sites in
+    * StreamingSpec for the adapter off the events schema. */
+  def userProfiles(events: Dataset[(Long, Long, Double)]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[ProfileState, UserProfile](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)], st: GroupState[ProfileState]) =>
+          var s = st.getOption.getOrElse(
+            ProfileState(0L, 0.0, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, tsUs, v) =>
+            s = ProfileState(s.n_events + 1, s.total_value + v,
+              math.min(s.first_ts_us, tsUs), math.max(s.last_ts_us, tsUs))
+          }
+          st.update(s)
+          UserProfile(uid, s.n_events, s.total_value, s.first_ts_us, s.last_ts_us)
+      }
   }
 
   /** G23: stateful streaming dedup by event_id within the watermark —

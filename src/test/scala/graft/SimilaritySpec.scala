@@ -65,4 +65,38 @@ class SimilaritySpec extends AnyFunSuite {
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+
+  test("IVF top-k: full probe width degenerates to exact search") {
+    // nProbe = nClusters means every posting list is scanned, so the
+    // candidate set is the whole corpus and the (identically rounded,
+    // identically tie-broken) result must EQUAL brute force row-for-row
+    // — pins assignment/probing bookkeeping, not just recall.
+    val exact = Similarity.cosineTopK(emb, nQ = 8, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Similarity.ivfTopK(emb, nQ = 8, k = 10, nClusters = 8, nProbe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == exact, "full-probe IVF differs from brute force")
+  }
+
+  test("IVF top-k: mean recall >= 0.5 at the default operating point, and probing fraction is partial") {
+    val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
+    val ivf = topkSets(Similarity.ivfTopK(emb, nQ = 8, k = 10))
+    val recalls = exact.map { case (q, ids) =>
+      ivf.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean IVF recall $mean — clusters are not grouping neighbors")
+    // negative control: a single probed cluster must do measurably worse
+    // than the default 4/12 — proves the bound reflects probe width, not
+    // some trivial always-pass candidate set
+    val narrow = topkSets(Similarity.ivfTopK(emb, nQ = 8, k = 10, nProbe = 1))
+    val narrowMean = exact.map { case (q, ids) =>
+      narrow.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+      .sum / recalls.size
+    assert(narrowMean < mean,
+      s"nProbe=1 recall $narrowMean !< nProbe=4 recall $mean — probing is inert")
+  }
 }

@@ -159,4 +159,34 @@ class StreamingSpec extends AnyFunSuite {
     // 10:00 window was finalized with 1 event; the late 10:40 row did not resurrect it
     assert(out("2024-01-01 10:00:00") == 1L)
   }
+
+  test("G23+ custom state (mapGroupsWithState): multi-batch stream == batch, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_us, value)
+    val q = StreamingOps.userProfiles(mem.toDS()).writeStream
+      .format("memory").queryName("profile_sink").outputMode("update").start()
+    val rows = Seq(
+      (1L, 1000L, 2.0), (2L, 1500L, 3.0), // batch 1
+      (1L, 500L, 1.0), (3L, 2000L, 5.0),  // batch 2: user 1 gets earlier first_ts
+      (1L, 3000L, 4.0), (2L, 100L, 7.0))  // batch 3
+    rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // snapshots accumulate per batch in update mode: keep the LAST per user
+    val got = spark.table("profile_sink")
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1).values.toSet
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.size.toLong, rs.map(_._3).sum, rs.map(_._2).min, rs.map(_._2).max)
+    }.toSet
+    assert(got == want)
+    // user 1's state crossed all three batches (n grew 1 -> 2 -> 3)
+    val u1 = spark.table("profile_sink").as[(Long, Long, Double, Long, Long)]
+      .collect().filter(_._1 == 1L).map(_._2).toSeq
+    assert(u1 == Seq(1L, 2L, 3L), s"expected incremental snapshots, got $u1")
+    // and the same function on a BATCH Dataset gives the same final profiles
+    val batch = StreamingOps.userProfiles(rows.toDS())
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    assert(batch == want)
+  }
 }
