@@ -253,6 +253,42 @@ object Analytics {
               |ORDER BY s_suppkey""".stripMargin)
     },
 
+    // TPC-H Q21-style: double-correlated EXISTS + NOT EXISTS against the
+    // SAME fact table (the driver schema has no receipt/commit dates, so
+    // the predicate is adapted: the supplier is the ONLY one with an 'R'
+    // return on a multi-supplier order). Catalyst must decorrelate both
+    // subqueries into one semi- and one anti-join on l_orderkey — the
+    // shape PlanAuditSpec pins (no cartesian, no per-row subquery).
+    Q("tpch_q21ish",
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT s.s_name, count(*) AS numwait
+              |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+              |WHERE l1.l_returnflag = 'R'
+              |  AND EXISTS (
+              |    SELECT 1 FROM lineitem l2
+              |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM lineitem l3
+              |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              |      AND l3.l_returnflag = 'R')
+              |GROUP BY s.s_name
+              |ORDER BY numwait DESC, s_name
+              |LIMIT 20""".stripMargin)
+    },
+
     // TPC-H Q5-style: full star traversal (region → nation → customer →
     // orders → lineitem ⋈ supplier with co-nation constraint), revenue
     // per nation.

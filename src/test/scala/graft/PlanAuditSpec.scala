@@ -64,6 +64,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!q20.contains("CartesianProduct"),
       "nested IN must become semi joins, never a cartesian")
     assert(q20.contains("LeftSemi"), "IN list must plan as a semi join")
+    val q21 = plan("tpch_q21ish")
+    assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"),
+      "double-correlated EXISTS must decorrelate to keyed joins")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      "EXISTS -> semi join and NOT EXISTS -> anti join, both on l_orderkey")
   }
 
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
