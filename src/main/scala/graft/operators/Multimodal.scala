@@ -15,6 +15,13 @@ case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int,
     checksum: Long, width: Int, height: Int)
 
+/** Output of the (stubbed) resize stage: fixed-size resampled payload. */
+case class ResizedMedia(doc_id: Long, media_type: String, width: Int,
+                        height: Int, n_bytes_in: Int, payload: Array[Byte])
+
+/** One sampled frame of a "video" payload. */
+case class MediaFrame(doc_id: Long, frame_no: Int, n_bytes: Int, checksum: Long)
+
 /** Multimodal pipeline (SURVEY.md §2b X6 + the training-data mandate's
   * multimodal-columns item).
   *
@@ -72,6 +79,55 @@ object Multimodal {
     }
   }
 
+  /** Stubbed resize: nearest-neighbor resample of the byte stream to a
+    * fixed w×h payload — the stand-in for bilinear image resize, with
+    * the real contract intact: fixed output size regardless of input,
+    * batched per partition, no state across rows. */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val n = w * h
+          val len = r.payload.length
+          val out = new Array[Byte](n)
+          var i = 0
+          // nearest-neighbor index map (the same arithmetic a 1-D NN
+          // image scale uses); zero-fill for empty payloads
+          while (i < n) {
+            out(i) = if (len == 0) 0 else r.payload((i.toLong * len / n).toInt)
+            i += 1
+          }
+          ResizedMedia(r.doc_id, r.media_type, w, h, len, out)
+        }
+      }
+    }
+  }
+
+  /** Stubbed frame sampling: treat a "video" payload as fixed-size
+    * frames and keep every `everyNth` one (uniform temporal sampling —
+    * the training-data shape for video). Fan-out happens inside the
+    * partition (one input row → ~frames/everyNth output rows), so the
+    * operator is a flatMap with no shuffle; downstream repartitioning
+    * is the caller's choice. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+                   everyNth: Int = 4): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video").as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (f, i) if i % everyNth == 0 =>
+            var h = 1125899906842597L
+            var j = 0
+            while (j < f.length) { h = 31 * h + (f(j) & 0xff); j += 1 }
+            MediaFrame(r.doc_id, i, f.length, h)
+        }
+      }
+    }
+  }
+
   def all: Seq[Q] = Seq(
 
     // X6: text ⋈ vector ⋈ JSON in one pipeline. Plan: 1:1 SMJ/BHJ of
@@ -120,6 +176,21 @@ object Multimodal {
     // values pinned by MultimodalSpec instead).
     Q.noOracle("multimodal_media_features") { (s, d) =>
       mediaFeatures(asMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")
+    },
+
+    // X15+: stubbed resize — fixed 16×16 output payload per doc (binary
+    // column dropped from the registry dump: the invariant is pinned in
+    // MultimodalSpec; here the rows-only check sees the metadata).
+    Q.noOracle("multimodal_resize") { (s, d) =>
+      resizeMedia(asMedia(Tables.documents(s, d)), 16, 16)
+        .toDF().select("doc_id", "media_type", "width", "height", "n_bytes_in")
+        .orderBy("doc_id")
+    },
+
+    // X15+: stubbed frame sampling over the "video" third of the corpus.
+    Q.noOracle("multimodal_frame_sample") { (s, d) =>
+      sampleFrames(asMedia(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "frame_no")
     }
   )
 }

@@ -42,4 +42,38 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.mediaFeatures(media.repartition(13)).collect().sortBy(_.doc_id).toSeq
     assert(a == b)
   }
+
+  test("stub resize: fixed output size, nearest-neighbor resample matches JVM reference") {
+    val resized = Multimodal.resizeMedia(Multimodal.asMedia(docs), 16, 16)
+      .collect().map(r => r.doc_id -> r).toMap
+    val ref = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(resized.keySet == ref.keySet)
+    ref.foreach { case (id, text) =>
+      val in = text.getBytes("UTF-8")
+      val r = resized(id)
+      assert(r.payload.length == 256, s"doc $id: resize must be fixed-size")
+      assert(r.n_bytes_in == in.length)
+      val expect = Array.tabulate(256)(i =>
+        if (in.isEmpty) 0.toByte else in((i.toLong * in.length / 256).toInt))
+      assert(r.payload.toSeq == expect.toSeq, s"doc $id resample mismatch")
+    }
+  }
+
+  test("stub frame sampling: every 4th 256-byte frame of video payloads only") {
+    val media = Multimodal.asMedia(docs)
+    val frames = Multimodal.sampleFrames(media).collect()
+    val videoIds = media.filter(_.media_type == "video")
+      .collect().map(m => m.doc_id -> m.payload).toMap
+    assert(frames.map(_.doc_id).toSet == videoIds.keySet,
+      "every video doc yields frames (frame 0 always sampled), nothing else does")
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val nFrames = (videoIds(id).length + 255) / 256
+      assert(fs.map(_.frame_no).sorted.toSeq == (0 until nFrames by 4).toSeq)
+      // all full frames are 256 bytes; the tail frame carries the remainder
+      fs.foreach { f =>
+        val want = math.min(256, videoIds(id).length - f.frame_no * 256)
+        assert(f.n_bytes == want)
+      }
+    }
+  }
 }
