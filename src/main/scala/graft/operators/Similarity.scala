@@ -27,12 +27,13 @@ object Similarity {
 
   /** Sequential-fold dot product of two double-array columns — same
     * accumulation order as DuckDB's list_inner_product, so results are
-    * bit-comparable before rounding. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * bit-comparable before rounding. Native expression (primitive loop,
+    * one line of generated Java) — the HOF form it replaces is kept
+    * bit-identical by VecDotSpec. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDotEval(a, b)
 
-  /** Squared L2 norm. */
-  def norm2(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x * x)
+  /** Squared L2 norm (= v·v; same fold order as the HOF `a + x*x`). */
+  def norm2(v: Column): Column = graft.functions.VecDotEval(v, v)
 
   /** Two-phase exact top-k per query: local winners per (q, salt) then
     * global winners per q. `ord` must be deterministic (ties broken). */
