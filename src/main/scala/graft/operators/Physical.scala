@@ -54,6 +54,19 @@ object Physical {
       when(bucketCol === i, lit(bucketSentinel(i, n))).otherwise(acc)
     }
 
+  /** G18+: write `df` as a bucketed, per-bucket-sorted parquet table —
+    * the persisted form of a co-located join side. Two tables bucketed
+    * by the same key into the same bucket count join WITHOUT any
+    * Exchange (PhysicalSpec asserts the plan): at 100 TB that turns the
+    * recurring fact⋈fact shuffle into a one-time layout cost paid at
+    * ingest. Buckets are also the unit the ANN/near-dup postings tables
+    * would persist as. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    key: String, buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+
   def all: Seq[Q] = Seq(
 
     // G19 (oracled): the partitioner math as a scalar expression, over

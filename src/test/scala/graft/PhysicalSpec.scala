@@ -74,4 +74,41 @@ class PhysicalSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("bucketed tables join with ZERO exchanges and match the shuffled join") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val li = sources.Tables.lineitem(spark, SparkTestSession.sf0001)
+      .select("l_orderkey", "l_quantity")
+    val o = sources.Tables.orders(spark, SparkTestSession.sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    try {
+      operators.Physical.writeBucketed(li, "li_b", "l_orderkey", 8)
+      operators.Physical.writeBucketed(o, "o_b", "l_orderkey", 8)
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+        j.write.format("noop").mode("overwrite").save()
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucket-co-located join must not shuffle either side:\n$plan")
+        assert(plan.contains("SortMergeJoin"), "expected an SMJ over bucket scans")
+        // and bucketing must not change the answer
+        val shuffled = li.join(o, "l_orderkey")
+          .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice"))
+          .as[(Long, Double, Double)].head()
+        val bucketed = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+          .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice"))
+          .as[(Long, Double, Double)].head()
+        assert(bucketed._1 == shuffled._1)
+        assert(math.abs(bucketed._2 - shuffled._2) < 1e-6)
+        assert(math.abs(bucketed._3 - shuffled._3) < 1e-4)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
 }
