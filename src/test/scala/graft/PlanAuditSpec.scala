@@ -107,4 +107,37 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(ng.contains("NGramsEval.eval"), "ngrams must emit its static-call codegen")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("runtime bloom-filter pruning injects on a selective fact join") {
+    // At 100 TB the win is row-level pruning of the probe side before
+    // the shuffle; at sf0.001 the size thresholds would never trip, so
+    // they are lowered to force the decision path. The assertion is
+    // that OUR plans are eligible (no custom expression or shape blocks
+    // the InjectRuntimeFilter rule), not a size measurement.
+    val spark2 = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark2.conf.getOption(k)).toMap
+    try {
+      spark2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val li = sources.Tables.lineitem(spark2, SparkTestSession.sf0001)
+      val o = sources.Tables.orders(spark2, SparkTestSession.sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective creation side
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val j = li.join(o, "l_orderkey").groupBy("o_orderstatus").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("BloomFilterMightContain"),
+        s"runtime bloom filter was not injected:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark2.conf.set(k, v)
+      case (k, None) => spark2.conf.unset(k)
+    }
+  }
 }
