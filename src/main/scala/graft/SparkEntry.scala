@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.TimeWindows.all ++
       operators.Analytics.all ++
-      operators.PiiScrub.all
+      operators.PiiScrub.all ++
+      operators.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

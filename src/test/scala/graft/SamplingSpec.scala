@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X20 sampling/split tests: determinism (the property df.sample lacks),
+  * stratum caps, and split fraction sanity. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = sources.Tables.documents(spark, SparkTestSession.sf001)
+
+  test("stratified cap: <= N per stratum, subset of input, partition-layout invariant") {
+    val capped = Sampling.stratifiedCap(docs, "lang", "doc_id", 20)
+    val perLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 20))
+    // strata smaller than the cap survive whole
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (l, n) => assert(perLang(l) == math.min(n, 20L)) }
+    // the draw must not depend on physical layout
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedCap(docs.repartition(13), "lang", "doc_id", 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("split: total partition, ~90/5/5, stable under appends") {
+    val split = docs.select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(n == docs.count())
+    assert(counts("train").toDouble / n > 0.8 && counts("train").toDouble / n < 0.97)
+    assert(counts.keySet == Set("train", "valid", "test"))
+    // stability: a row's split is a pure function of its id — the same
+    // ids on a subset produce the same labels
+    val sub = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), Sampling.splitLabel(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val whole = split.as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(whole(id) == s) }
+  }
+}
