@@ -67,4 +67,20 @@ class SinkSpec extends AnyFunSuite {
     val enDirect = docs.filter($"lang" === "en").count()
     assert(en == enDirect)
   }
+
+  test("TSV round-trip: text source reads back exactly what the sink wrote") {
+    // the reference's full I/O contract: text in, text out — a job's
+    // TSV output must be consumable as the next job's input unchanged
+    val counts = TextPipeline.ngramCount(
+      sources.Tables.documents(spark, SparkTestSession.sf0001), "text", 3)
+    val dir = tmp("roundtrip")
+    Sinks.writeSortedTsv(counts, dir, "ngram", 4)
+    val back = spark.read
+      .option("sep", "\t")
+      .schema("ngram STRING, cnt LONG")
+      .csv(dir)
+    val a = counts.as[(String, Long)].collect().sortBy(identity).toSeq
+    val b = back.as[(String, Long)].collect().sortBy(identity).toSeq
+    assert(a == b)
+  }
 }
