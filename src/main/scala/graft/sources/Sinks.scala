@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Write surface (SURVEY.md §2b G24 / R2).
   *
@@ -41,5 +41,37 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files of roughly even size.
+    *
+    * Streaming sinks and wide shuffles write one file per task per
+    * micro-batch — at 100 TB that is millions of KB-sized files whose
+    * per-file open/footer cost comes to dominate every later scan (and
+    * breaks object-store listing). Compaction is the standard follow-up
+    * job. Sizing reads the SOURCE's on-disk bytes (already compressed,
+    * so the output estimate is honest); the rewrite into a TEMPORARY
+    * sibling directory + atomic-as-possible rename keeps readers off
+    * half-written output — the swap pattern table formats do with
+    * metadata, done here at directory level. Returns the file count. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(dir)
+    val bytes = Files.walk(src).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = src.resolveSibling(src.getFileName.toString + "._compact_tmp")
+    // round-robin repartition: even file sizes regardless of key skew
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val trash = src.resolveSibling(src.getFileName.toString + "._compact_old")
+    Files.move(src, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(trash).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    nFiles
   }
 }

@@ -83,4 +83,24 @@ class SinkSpec extends AnyFunSuite {
     val b = back.as[(String, Long)].collect().sortBy(identity).toSeq
     assert(a == b)
   }
+
+  test("compaction: many small files -> sized file count, rows and values intact") {
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf001)
+      .select("doc_id", "lang", "text")
+    val dir = tmp("compact")
+    // simulate a streaming sink's debris: 64 tiny files
+    docs.repartition(64).write.parquet(dir)
+    val before = Files.list(Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(before == 64)
+    val want = docs.collect().map(_.toString).sorted.toSeq
+    val n = Sinks.compactParquet(spark, dir, targetFileBytes = 64L << 10)
+    val after = Files.list(Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(after == n && n < 64 && n >= 1, s"got $after files, expected $n")
+    val got = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    assert(!Files.exists(Paths.get(dir + "._compact_tmp")))
+    assert(!Files.exists(Paths.get(dir + "._compact_old")))
+  }
 }
