@@ -61,9 +61,11 @@ object Bench {
           -1.0
         }
       }
-      // -1 (failed run) sorts first, so the median stays a real time
-      // unless a majority of runs failed.
-      val median = times.sorted.apply(Reps / 2)
+      // median over SUCCESSFUL runs only: sorting -1s into the pick
+      // would make one intermittent failure report min(successes) — a
+      // flaky query would bench as healthy-and-faster. All-failed → -1.
+      val ok = times.filter(_ >= 0).sorted
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       System.err.println(f"[bench] $name%-32s median=$median%8.3f  runs=" +
         times.map(t => f"$t%.3f").mkString("[", ", ", "]"))
       name -> math.rint(median * 1000) / 1000

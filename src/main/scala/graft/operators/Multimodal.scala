@@ -87,20 +87,20 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(64).flatMap { batch =>
-        batch.map { r =>
-          val n = w * h
-          val len = r.payload.length
-          val out = new Array[Byte](n)
-          var i = 0
-          // nearest-neighbor index map (the same arithmetic a 1-D NN
-          // image scale uses); zero-fill for empty payloads
-          while (i < n) {
-            out(i) = if (len == 0) 0 else r.payload((i.toLong * len / n).toInt)
-            i += 1
-          }
-          ResizedMedia(r.doc_id, r.media_type, w, h, len, out)
+      // per-row map (unlike mediaFeatures there is no vectorized-decoder
+      // batch shape to mirror here — resample is element-wise)
+      rows.map { r =>
+        val n = w * h
+        val len = r.payload.length
+        val out = new Array[Byte](n)
+        var i = 0
+        // nearest-neighbor index map (the same arithmetic a 1-D NN
+        // image scale uses); zero-fill for empty payloads
+        while (i < n) {
+          out(i) = if (len == 0) 0 else r.payload((i.toLong * len / n).toInt)
+          i += 1
         }
+        ResizedMedia(r.doc_id, r.media_type, w, h, len, out)
       }
     }
   }

@@ -31,6 +31,8 @@ object Sampling {
     * per stratum (uniform over rows, reproducible everywhere). */
   def stratifiedCap(df: org.apache.spark.sql.DataFrame, stratum: String,
                     idCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("__h") && !df.columns.contains("__rn"),
+      "input already has a __h/__rn column — rename it before stratifiedCap")
     val h = md5(concat(col(idCol).cast("string"), lit(":sample")))
     df.withColumn("__h", h)
       .withColumn("__rn", row_number().over(

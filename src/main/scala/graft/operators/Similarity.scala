@@ -182,7 +182,10 @@ object Similarity {
     * index). Clusters that lose all members drop out (k may shrink) —
     * harmless for ANN probing. Init is the first k corpus vectors. */
   private[graft] def kmeansCentroids(v: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = v.limit(k)
+    // seed with the k SMALLEST vec_ids — a bare limit(k) would take k
+    // rows in physical partition order, making centroids (and thus ANN
+    // results) depend on thread count / file splits
+    var cents = v.orderBy(col("vec_id")).limit(k)
       .select(row_number().over(Window.orderBy(col("vec_id"))).as("cluster"),
         col("v").as("c"), col("n2").as("cn2"))
       .localCheckpoint()

@@ -57,21 +57,48 @@ object Sinks {
     * metadata, done here at directory level. Returns the file count. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L << 20): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    def walk[A](p: Path)(f: Iterator[Path] => A): A = {
+      val s = Files.walk(p)
+      try f(s.iterator().asScala) finally s.close()
+    }
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p)) walk(p)(_.toSeq.reverse.foreach(Files.delete))
     val src = Paths.get(dir)
-    val bytes = Files.walk(src).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = src.resolveSibling(src.getFileName.toString + "._compact_tmp")
+    val trash = src.resolveSibling(src.getFileName.toString + "._compact_old")
+    // Crash recovery from a previous interrupted run: if the data dir is
+    // missing but the trash survived, the crash hit between the two
+    // renames — restore it. Stale tmp/trash from completed phases are
+    // deleted so a rerun never hits a non-empty rename target.
+    if (!Files.exists(src) && Files.exists(trash))
+      Files.move(trash, src, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(tmp); rmTree(trash)
+    // Out of scope, by refusal rather than silent corruption:
+    //  - a streaming-sink dir: rewriting drops _spark_metadata, and the
+    //    resumed stream would recreate a manifest listing only new files,
+    //    making every compacted row invisible to manifest-based reads;
+    //  - a hive-partitioned dir: a flat rewrite discards the col=value
+    //    layout (and partition-column types) — compact each leaf instead.
+    require(!Files.exists(src.resolve("_spark_metadata")),
+      s"$dir is a streaming-sink output (_spark_metadata); compaction would orphan its manifest")
+    val partitioned = walk(src)(_.exists(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("=")))
+    require(!partitioned,
+      s"$dir is hive-partitioned; compact each leaf partition directory instead")
+    val bytes = walk(src)(_.filter(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // round-robin repartition: even file sizes regardless of key skew
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val trash = src.resolveSibling(src.getFileName.toString + "._compact_old")
+    // Two renames cannot be one atomic op without a metadata layer; the
+    // recovery block above makes the crash window safe on rerun.
     Files.move(src, trash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(trash).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmTree(trash)
     nFiles
   }
 }

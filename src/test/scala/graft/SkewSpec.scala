@@ -51,10 +51,15 @@ class SkewSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       f
+      // listener delivery is async and can burst with >100ms gaps under
+      // load — require the max to hold still for 5 consecutive polls
+      // (waitUntilEmpty is private[spark])
       var prev = -1L
+      var stable = 0
       var spins = 0
-      while (max.get() != prev && spins < 100) {
-        prev = max.get(); spins += 1; Thread.sleep(100)
+      while (stable < 5 && spins < 200) {
+        if (max.get() == prev) stable += 1 else { stable = 0; prev = max.get() }
+        spins += 1; Thread.sleep(100)
       }
       max.get()
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -77,33 +77,43 @@ class StreamingSpec extends AnyFunSuite {
     val in = base.resolve("in").toString
     val out = base.resolve("data").toString
     val ckpt = base.resolve("ckpt").toString
-    // 12 single-file micro-batches so a stop() after the first committed
-    // batches lands mid-stream (not after completion)
-    batchEvents.repartition(12).write.parquet(in)
-    val want = sortedRows(spark.read.parquet(in))
+    // Deterministic restart: stage 12 single-file batches but reveal
+    // only 6 to run 1 (a poll-for-N-progresses kill races AvailableNow
+    // on a fast machine and can silently leave the resume path
+    // untested). Run 1 drains what exists; the rest "arrives" while the
+    // query is down; run 2 must resume from the logged offsets and
+    // process exactly the remainder.
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val staged = base.resolve("staged")
+    batchEvents.repartition(12).write.parquet(staged.toString)
+    JFiles.createDirectories(JPaths.get(in))
+    val parts = JFiles.list(staged).iterator()
+    val partFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    assert(partFiles.size == 12)
+    def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+      JFiles.move(p, JPaths.get(in).resolve(p.getFileName))
+    }
+    reveal(partFiles.take(6))
+    val want = sortedRows(spark.read.parquet(staged + "/*.parquet")) ++
+      sortedRows(spark.read.parquet(in + "/*.parquet"))
     def src = spark.readStream.schema(batchEvents.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
 
-    // run 1: hard-stop as soon as ≥2 batches have committed — an
-    // interrupted batch's files are written but NOT committed to the
-    // sink's _spark_metadata manifest, which is what spark.read goes
-    // through, so the kill itself must not surface partial output
     val q1 = StreamingOps.writeStreamParquet(src, out, ckpt)
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (q1.isActive && q1.recentProgress.count(_.numInputRows > 0) < 2
-        && System.nanoTime() < deadline) Thread.sleep(25)
-    q1.stop()
     q1.awaitTermination(120000)
-    val afterKill = spark.read.parquet(out).count()
-    assert(afterKill <= batchEvents.count(),
-      "manifest must never expose more than the committed rows")
+    val afterStop = spark.read.parquet(out).count()
+    assert(afterStop > 0, "run 1 must commit the revealed batches")
+    assert(afterStop < batchEvents.count(),
+      "run 1 must NOT have seen the unrevealed files — resume has real work")
 
     // run 2: same checkpoint — resumes from the logged offsets and
-    // processes exactly the unconsumed remainder
+    // processes exactly the files that arrived in between
+    reveal(partFiles.drop(6))
     val q2 = StreamingOps.writeStreamParquet(src, out, ckpt)
     q2.awaitTermination(120000)
     val got = spark.read.parquet(out)
-    assert(sortedRows(got) == want, "exactly-once: no lost and no duplicated rows")
+    assert(sortedRows(got) == want.sorted, "exactly-once: no lost and no duplicated rows")
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
