@@ -147,6 +147,28 @@ object Windows {
           col("l_quantity"))
         .orderBy(col("flag").asc_nulls_first, col("l_quantity").desc,
           col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // G14 distribution: percent_rank / cume_dist per order (scaling
+    // partition key, like window_ranking). Both are rank-based — ties
+    // share a value — so the peer ORDER BY needs no unique tiebreak;
+    // rounding keeps the double division cross-engine comparable.
+    Q("window_distribution",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER w, 9) AS pct_rank,
+        |  round(cume_dist() OVER w, 9) AS cum_dist
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, pct_rank""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cum_dist"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        // (11785 dup pairs at sf0.01) — adding pct_rank makes remaining
+        // ties bit-identical rows, so row order is hash-safe
+        .orderBy("l_orderkey", "l_linenumber", "pct_rank")
     }
   )
 }
