@@ -63,6 +63,33 @@ object SetOps {
           .filter(year(col("o_orderdate")) === 1995)
           .select(col("o_custkey").as("k")))
         .orderBy("k")
+    },
+
+    // G17: EXCEPT ALL — bag semantics: each custkey survives with
+    // multiplicity (orders − 1), since customer holds it exactly once.
+    // Surviving duplicates are identical rows, so ORDER BY k is
+    // hash-safe despite the ties.
+    Q("except_all_keys",
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT ALL
+        |SELECT c_custkey FROM customer
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    // G17: INTERSECT ALL — min(total orders, 1995 orders) copies per key.
+    Q("intersect_all_keys",
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersectAll(Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")
     }
   )
 }
