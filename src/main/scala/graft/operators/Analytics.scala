@@ -106,6 +106,29 @@ object Analytics {
         .orderBy("user_id")
     },
 
+    // G26 inverse: UNPIVOT (melt) — wide measure columns to (measure,
+    // value) rows, the normalization step feeding generic per-measure
+    // aggregation. Scan-local row expansion (a Generate, no shuffle);
+    // the oracle is the portable UNION ALL equivalent.
+    Q("unpivot_measures",
+      """SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS m, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity"))
+        .withColumn("price", col("l_extendedprice"))
+        .withColumn("discount", col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("qty"), col("price"), col("discount")),
+          variableColumnName = "measure", valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+    },
+
     // Correlated scalar subquery (Catalyst decorrelates to an aggregate
     // + join): orders beating their customer's average price. Entry
     // point B — subqueries are SQL-surface constructs.
