@@ -129,6 +129,43 @@ object Analytics {
         .orderBy("l_orderkey", "l_linenumber", "measure", "value")
     },
 
+    // CDC apply / MERGE-style upsert as a pure relational composite:
+    // base FULL OUTER JOIN changes, changed rows win via coalesce —
+    // updates overwrite, inserts append, untouched rows pass through.
+    // (Without a table format this is the batch-upsert shape; the join
+    // is keyed, so it shuffles once on the key and scales like any SMJ.)
+    // Changes are derived deterministically from the data itself:
+    // every 7th customer gets +100 balance, and a shifted-key copy of
+    // every 11th customer is an insert.
+    Q("cdc_upsert",
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, c_name, CAST(c_acctbal + 100 AS DOUBLE) AS acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_name, CAST(c_acctbal AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT coalesce(ch.k, b.c_custkey) AS k,
+        |  coalesce(ch.c_name, b.c_name) AS name,
+        |  coalesce(ch.acctbal, CAST(b.c_acctbal AS DOUBLE)) AS acctbal
+        |FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d)
+      // distinct column names on the change side avoid self-join
+      // ambiguity (changes derives from base)
+      val changes = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), col("c_name").as("name_ch"),
+          (col("c_acctbal") + 100).cast("double").as("acctbal"))
+        .unionAll(base.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 100000).as("k"), col("c_name").as("name_ch"),
+            col("c_acctbal").cast("double").as("acctbal")))
+      base.join(changes, col("c_custkey") === col("k"), "full_outer")
+        .select(
+          coalesce(col("k"), col("c_custkey")).as("k"),
+          coalesce(col("name_ch"), col("c_name")).as("name"),
+          coalesce(col("acctbal"), col("c_acctbal").cast("double")).as("acctbal"))
+        .orderBy("k")
+    },
+
     // Correlated scalar subquery (Catalyst decorrelates to an aggregate
     // + join): orders beating their customer's average price. Entry
     // point B — subqueries are SQL-surface constructs.
