@@ -135,14 +135,18 @@ object Analytics {
     // (Without a table format this is the batch-upsert shape; the join
     // is keyed, so it shuffles once on the key and scales like any SMJ.)
     // Changes are derived deterministically from the data itself:
-    // every 7th customer gets +100 balance, and a shifted-key copy of
-    // every 11th customer is an insert.
+    // every 7th customer gets +100 balance, and every 11th customer is
+    // re-inserted under a NEGATED key — custkeys are positive at every
+    // scale factor, so -(c+1) can never collide with a base key (a
+    // fixed offset like c+100000 would, once the table passes 100k
+    // customers, silently turning inserts into updates and breaking
+    // the ORDER BY k total order).
     Q("cdc_upsert",
       """WITH changes AS (
         |  SELECT c_custkey AS k, c_name, CAST(c_acctbal + 100 AS DOUBLE) AS acctbal
         |  FROM customer WHERE c_custkey % 7 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 100000, c_name, CAST(c_acctbal AS DOUBLE)
+        |  SELECT -(c_custkey + 1), c_name, CAST(c_acctbal AS DOUBLE)
         |  FROM customer WHERE c_custkey % 11 = 0)
         |SELECT coalesce(ch.k, b.c_custkey) AS k,
         |  coalesce(ch.c_name, b.c_name) AS name,
@@ -156,7 +160,7 @@ object Analytics {
         .select(col("c_custkey").as("k"), col("c_name").as("name_ch"),
           (col("c_acctbal") + 100).cast("double").as("acctbal"))
         .unionAll(base.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 100000).as("k"), col("c_name").as("name_ch"),
+          .select((-(col("c_custkey") + 1)).as("k"), col("c_name").as("name_ch"),
             col("c_acctbal").cast("double").as("acctbal")))
       base.join(changes, col("c_custkey") === col("k"), "full_outer")
         .select(

@@ -27,18 +27,18 @@ class SkewSpec extends AnyFunSuite {
   /** lineitem with a planted hot key: even orderkeys (≈50% of rows) →
     * key -1; the rest spread over 1000 keys. Deterministic. */
   private def skewedFacts: DataFrame =
-    sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    sources.Tables.lineitem(spark, SparkTestSession.sf01)
       .select(
         when(pmod(col("l_orderkey"), lit(2)) === 0, lit(-1L))
           .otherwise(pmod(col("l_orderkey"), lit(1000))).as("key"),
-        col("l_quantity"))
+        col("l_orderkey"), col("l_quantity"))
 
   private def dim: DataFrame =
     spark.range(-1L, 1000L).toDF("key")
       .withColumn("weight", (col("key") % 7 + 1).cast("double"))
 
-  /** Max shuffle-read records over all tasks of jobs run inside `f`.
-    * Listener events are async — poll until the max stops moving. */
+  /** Max shuffle-read records over all tasks of jobs run inside `f`
+    * (listener delivery is async — settle before reading). */
   private def maxTaskShuffleRecords(f: => Unit): Long = {
     val max = new AtomicLong(0)
     val listener = new SparkListener {
@@ -49,31 +49,12 @@ class SkewSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try {
-      f
-      // listener delivery is async and can burst with >100ms gaps under
-      // load — require the max to hold still for 5 consecutive polls
-      // (waitUntilEmpty is private[spark])
-      var prev = -1L
-      var stable = 0
-      var spins = 0
-      while (stable < 5 && spins < 200) {
-        if (max.get() == prev) stable += 1 else { stable = 0; prev = max.get() }
-        spins += 1; Thread.sleep(100)
-      }
-      max.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
+    try { f; SparkTestSession.settle(max.get()) }
+    finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit =
+    SparkTestSession.withConf(pairs: _*)(f)
 
   test("saltedJoin bounds the hot key's max task; plain shuffle join does not") {
     // AQE off + broadcast off: isolate salting — the plain join must
@@ -94,9 +75,13 @@ class SkewSpec extends AnyFunSuite {
         s"plain join max task read $plainMax < hot-key rows $hot — premise broken")
 
       val buckets = 32
+      // salt from l_orderkey (~300k distinct on the hot key) — a
+      // low-cardinality salt source like l_quantity (50 values) would
+      // collapse into few salt buckets and the spread bound would hold
+      // on hash luck rather than by construction
       val saltedMax = maxTaskShuffleRecords {
         Skew.saltedJoin(skewedFacts, dim, "key", buckets,
-            saltSource = Seq("l_quantity"))
+            saltSource = Seq("l_orderkey"))
           .agg(sum(col("l_quantity") * col("weight"))).collect()
       }
       // hot key spread over `buckets` salts: max task ≈ hot/buckets plus

@@ -19,4 +19,31 @@ object SparkTestSession {
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
+
+  /** Set confs for the duration of `f`, restoring previous values
+    * (shared by the suites that must flip session confs). */
+  def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Poll `read` until it returns the same value for `stableFor`
+    * consecutive 100 ms intervals — listener-bus delivery is async and
+    * bursty, so a single quiet interval is not proof of drain. */
+  def settle(read: => Long, stableFor: Int = 5, maxSpins: Int = 200): Long = {
+    var prev = -1L
+    var stable = 0
+    var spins = 0
+    while (stable < stableFor && spins < maxSpins) {
+      if (read == prev) stable += 1 else { stable = 0; prev = read }
+      spins += 1; Thread.sleep(100)
+    }
+    read
+  }
 }

@@ -2,26 +2,31 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** X7 spill-safety: the 100 TB posture claims operators survive memory
-  * pressure by spilling, not OOMing — this forces the spill paths
-  * deterministically (per-operator row-count spill thresholds, not
-  * JVM-size roulette) and asserts results are IDENTICAL to the
-  * in-memory runs, with task metrics proving the spill actually
-  * happened. */
+  * pressure by spilling, not OOMing — these tests force the
+  * runtime-settable spill paths deterministically and assert results
+  * are IDENTICAL to the in-memory runs, with task metrics proving
+  * bytes actually hit disk.
+  *
+  * Coverage notes (found the hard way):
+  *   - window buffers: `windowExec.buffer.spill.threshold` — settable,
+  *     exercised on the registry window queries below;
+  *   - SMJ match buffers: `sortMergeJoinExec.buffer.spill.threshold`
+  *     only engages when one key matches MANY buffered rows, and a
+  *     too-low threshold on a many-group join allocates a 1 MB
+  *     read-ahead buffer per spilled group → OOM (measured). The SMJ
+  *     test therefore uses few huge key groups, the shape the buffer
+  *     exists for;
+  *   - pure external sort force-spill
+  *     (`spark.shuffle.spill.numElementsForceSpillThreshold`) is a
+  *     STATIC core conf — not settable per-test; sort spill at scale
+  *     is driven by execution-memory pressure instead.
+  */
 class SpillSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-
-  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   private def spilledBytes(f: => Unit): Long = {
     val spilled = new AtomicLong(0)
@@ -32,7 +37,7 @@ class SpillSpec extends AnyFunSuite {
       }
     }
     spark.sparkContext.addSparkListener(l)
-    try { f; Thread.sleep(500); spilled.get() }
+    try { f; SparkTestSession.settle(spilled.get()) }
     finally spark.sparkContext.removeSparkListener(l)
   }
 
@@ -40,26 +45,45 @@ class SpillSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, SparkTestSession.sf001)
       .collect().map(_.toString).toSeq
 
-  test("window, sort-merge join, and sort queries: identical results under forced spill") {
-    val names = Seq("window_running", "window_ranking", "join_left_outer", "sort_multi_key")
-    val inMem = names.map(n => n -> rows(n)).toMap
-    withConf(
-      // row-count spill thresholds: every 64-row buffer hits disk
+  test("window query: identical results with frame buffers forced to disk") {
+    // window_running only: 100 l_suppkey groups × ~600 rows spill ~10
+    // chunks each — few, large groups. Forcing spill on a MANY-group
+    // window (e.g. window_ranking's 15k l_orderkey groups) is the OOM
+    // pathology described above, not a realistic memory-pressure shape:
+    // per-group thresholds model pressure only where groups are big.
+    val inMem = rows("window_running")
+    SparkTestSession.withConf(
       "spark.sql.windowExec.buffer.spill.threshold" -> "64",
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
-      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
-      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64") {
-      var totalSpill = 0L
-      names.foreach { n =>
-        val got = {
-          var r: Seq[String] = null
-          totalSpill += spilledBytes { r = rows(n) }
-          r
-        }
-        assert(got == inMem(n), s"$n: spilled run differs from in-memory run")
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "64") {
+      var got: Seq[String] = null
+      val sp = spilledBytes { got = rows("window_running") }
+      assert(got == inMem, "spilled run differs from in-memory run")
+      assert(sp > 0, "no task spilled — the forced-spill path never engaged")
+    }
+  }
+
+  test("sort-merge join: identical result with match buffers forced to disk") {
+    // 3 huge key groups (~20k lineitem rows per returnflag): each group
+    // overflows the 1024-row match buffer ~20x — the realistic skewed-
+    // match shape the SMJ external buffer exists for
+    val li = sources.Tables.lineitem(spark, SparkTestSession.sf001)
+      .select("l_returnflag", "l_quantity")
+    val flags = li.select("l_returnflag").distinct()
+      .withColumn("w", length(col("l_returnflag")).cast("double"))
+    def agg() = flags.join(li, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("w")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    SparkTestSession.withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val inMem = agg()
+      SparkTestSession.withConf(
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "1024",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "1024") {
+        var got: Seq[String] = null
+        val sp = spilledBytes { got = agg() }
+        assert(got == inMem, "SMJ spilled run differs from in-memory run")
+        assert(sp > 0, "no task spilled — SMJ match buffer never overflowed")
       }
-      assert(totalSpill > 0,
-        "no task reported memory/disk spill — thresholds did not engage, test is vacuous")
     }
   }
 }
