@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Physical.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
+      operators.Clustering.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup CLUSTERING (X21): connected components over the
+  * doc ↔ fingerprint-bucket bipartite graph, turning pairwise near-dup
+  * signals into transitive duplicate clusters with one canonical keeper
+  * per cluster — the step a real dedup pipeline runs after LSH banding
+  * (pairs alone can't dedup: A~B and B~C must collapse to ONE keeper
+  * even when A~C was never emitted as a candidate).
+  *
+  * Graph: docs share an edge iff they share a fingerprint band minimum
+  * (the 4-band min-md5 sketch of TextAnalysis.doc_fingerprint). We never
+  * materialize doc-doc edges — a hot bucket of B docs would explode into
+  * B² pairs; the bipartite (doc, bucket) form keeps every shuffle linear
+  * in membership rows.
+  *
+  * Algorithm: min-label propagation with pointer-doubling path
+  * compression (the hash-to-min family — Rastogi et al., "Finding
+  * Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13):
+  *   A. bucket-min: bc(bucket) = min component over members;
+  *      doc-min:    nc(doc)    = min bc over the doc's buckets
+  *   B. compress: labels form a parent-pointer forest (every label is a
+  *      doc_id), so component ← label(component) self-joins halve pointer
+  *      depth until every doc points at its root.
+  * Step A merges adjacent labels (2 hops); step B's doubling makes the
+  * whole merged region adopt the root label in O(log depth) joins —
+  * convergence in O(log n) outer rounds instead of O(diameter). Labels
+  * are monotone non-increasing and bounded by the true component min, so
+  * the fixpoint (no label changes) IS the answer: at fixpoint every
+  * bucket is label-uniform, hence every component is.
+  *
+  * 100 TB posture: each round is 4 hash shuffles keyed by bucket / doc /
+  * component (all high-cardinality), with `localCheckpoint` truncating
+  * the loop's lineage (at cluster scale: persisted table per round). The
+  * per-round `count` action on the changed-label set is the convergence
+  * test — a scalar per round, not a data collect, same pattern as the
+  * IVF k-means trainer (Similarity.scala).
+  */
+object Clustering {
+
+  /** (doc_id, bucket) membership: bucket = band ':' band-min shingle md5 —
+    * identical band arithmetic to `doc_fingerprint` (TextAnalysis). */
+  def fingerprintBuckets(docs: DataFrame): DataFrame = {
+    val h = md5(col("shingle"))
+    docs.select(col("doc_id"), explode(TextFns.ngrams(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), h.as("h"),
+        pmod(ascii(substring(h, 1, 1)), lit(4)).as("band"))
+      .groupBy("doc_id", "band").agg(min(col("h")).as("b"))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("b")).as("bucket"))
+  }
+
+  /** Full path compression by pointer doubling: every label is itself a
+    * doc_id (labels only ever take existing-label values), so `lab` is a
+    * parent-pointer forest; repeatedly rewriting component ← label(component)
+    * halves pointer depth per join until every doc points at its root.
+    * ≤ log₂(n) self-join rounds, each one hash shuffle on doc_id.
+    *
+    * Iteration-state hygiene (both matter; each alone hangs the loop):
+    *  - the self-join doubles the logical TREE per jump, so every jump
+    *    must truncate lineage (`localCheckpoint`) or planning goes
+    *    exponential;
+    *  - Spark 4's localCheckpoint copies the ORIGIN plan's stats onto
+    *    the LogicalRDD, and a self-join SQUARES sizeInBytes — checkpoint
+    *    after un-measured checkpoint the BigInt bit-length doubles and
+    *    the size-only stats visitor ends up multiplying megabit integers
+    *    (minutes of planner CPU by round ~20). Materializing a cache
+    *    FIRST makes the checkpoint read its stats from the
+    *    InMemoryRelation's real byte size, which re-grounds the estimate
+    *    every jump instead of compounding it. */
+  private def compress(lab0: DataFrame, maxJumps: Int): DataFrame = {
+    var cur = lab0
+    var changed = 1L
+    var jumps = 0
+    while (changed > 0 && jumps < maxJumps) {
+      val c = cur.as("x")
+        .join(cur.as("y"), col("x.component") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.component"), col("y.component")).as("component"),
+          (col("y.component") < col("x.component")).as("moved"))
+        .cache()
+      // the filter-count materializes every cache partition it scans, so
+      // one action both measures progress and pins the data the
+      // checkpoint below re-reads (cheaply) to cut lineage.
+      changed = c.filter(col("moved")).count()
+      cur = c.drop("moved").localCheckpoint()
+      c.unpersist(false)
+      jumps += 1
+    }
+    require(changed == 0L, s"compress: pointer chase not settled after $maxJumps jumps")
+    cur
+  }
+
+  /** Min-label connected components over a bipartite (doc_id, bucket)
+    * membership. `docs` supplies the universe (isolated docs — no
+    * buckets — stay singleton components). Returns (doc_id, component).
+    *
+    * Per-round state is checkpoint-truncated (see [[materializedCheckpoint]]);
+    * at cluster scale the equivalent is a persisted table per round. */
+  def connectedComponents(docs: DataFrame, memb0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val memb = memb0.cache()
+    try {
+      var lab = docs.select(col("doc_id"), col("doc_id").as("component"))
+        .localCheckpoint()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxRounds) {
+        val bmin = memb.join(lab, "doc_id")
+          .groupBy("bucket").agg(min(col("component")).as("bc"))
+        val dmin = memb.join(bmin, "bucket")
+          .groupBy("doc_id").agg(min(col("bc")).as("nc"))
+        val cand = lab.join(dmin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+            (col("nc") < col("component")).as("moved"))
+          .cache()
+        // step A moved nothing ⇒ global fixpoint (compress only chases
+        // pointers step A created) — one count doubles as the outer
+        // convergence test and the cache materializer.
+        changed = cand.filter(col("moved")).count()
+        if (changed > 0) lab = compress(cand.drop("moved"), maxJumps = 40)
+        cand.unpersist(false)
+        round += 1
+      }
+      require(changed == 0L, s"connectedComponents: no fixpoint after $maxRounds rounds")
+      lab
+    } finally memb.unpersist(false)
+  }
+
+  /** Shared oracle scaffolding: DuckDB recursive-CTE reachability over the
+    * same bucket graph (tractable at oracle scale; the Spark side never
+    * builds these doc-doc edges). */
+  private def ccSql(select: String): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, md5(array_to_string(t[u.i:u.i+2], ' ')) AS h
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |fp AS (
+       |  SELECT doc_id, ascii(substring(h, 1, 1)) % 4 AS band, min(h) AS b
+       |  FROM sh GROUP BY doc_id, band),
+       |memb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || b AS bucket FROM fp),
+       |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |          FROM memb a JOIN memb b USING (bucket)),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+       |cc AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |$select""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // X21a: per-doc component label (component id = min doc_id reachable).
+    Q("cc_components",
+      ccSql("SELECT doc_id, component FROM cc ORDER BY doc_id")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      connectedComponents(docs, fingerprintBuckets(docs)).orderBy("doc_id")
+    },
+
+    // X21b: the dedup decision — one keeper per cluster + cluster size
+    // (keeper = component id = min member, same min-id convention as X1).
+    Q("cc_clusters",
+      ccSql(
+        """SELECT component, component AS keeper_id,
+          |  count(*) AS n_members FROM cc
+          |GROUP BY component ORDER BY component""".stripMargin)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      connectedComponents(docs, fingerprintBuckets(docs))
+        .groupBy("component").agg(count(lit(1)).as("n_members"))
+        .select(col("component"), col("component").as("keeper_id"), col("n_members"))
+        .orderBy("component")
+    }
+  )
+}
