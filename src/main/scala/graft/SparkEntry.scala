@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Clustering.all ++
+      operators.QualityFilters.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hard quality GATES for training-data curation (X22/X23) — the
+  * Gopher-rules / C4-style filter pass that runs before dedup:
+  * per-document token-shape signals with a reject/keep decision, and
+  * corpus-level boilerplate detection (n-grams shared across documents).
+  *
+  * Distinct from X11 `doc_quality` (a composite score): these are the
+  * published-pipeline-style binary gates (Rae et al. Gopher §A.1.1,
+  * Raffel et al. C4) re-expressed over this corpus's signals.
+  *
+  * Scale posture: everything is explode → keyed hash aggregation; the
+  * boilerplate pass shuffles on the n-gram string (high cardinality) and
+  * then on doc_id — no broadcast of corpus state, no driver loop. The
+  * keep decision compares RAW ratios (identical IEEE division in both
+  * engines); display columns are rounded once at the end
+  * (graft parity rule — see doc_quality).
+  */
+object QualityFilters {
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in")
+
+  /** X22: per-doc Gopher-style signals + keep gate. Thresholds chosen to
+    * BIND on this corpus (each rejects a real slice; see spec). */
+  def gopherFilters(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val per = tf.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_unique"),
+      max(col("c")).as("top_cnt"),
+      sum(col("c") * length(col("w"))).as("char_sum"),
+      sum(when(col("w").isin(stop: _*), col("c")).otherwise(0L)).as("stopword_hits"))
+    val nTok = col("n_tokens").cast("double")
+    val meanLen = col("char_sum").cast("double") / nTok
+    val fracUniq = col("n_unique").cast("double") / nTok
+    val topFrac = col("top_cnt").cast("double") / nTok
+    per.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(meanLen, 9).as("mean_word_len"),
+      round(fracUniq, 9).as("frac_unique"),
+      round(topFrac, 9).as("top_token_frac"),
+      col("stopword_hits"),
+      (col("n_tokens") >= 30 && meanLen <= 5.0 && fracUniq >= 0.4 &&
+        topFrac <= 0.15 && col("stopword_hits") >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** X23: corpus-frequent 5-gram ("boilerplate") fraction per doc —
+    * a gram is boilerplate when ≥2 distinct docs contain it. */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.ngrams(col("text"), 5))).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    val per = grams.join(dfreq, "g").groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(try_divide(col("n_boiler").cast("double"),
+          col("n_grams").cast("double")), 9).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val duckToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0)"""
+
+  def all: Seq[Q] = Seq(
+
+    Q("quality_gopher_filters",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w),
+         |per AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(max(c) AS BIGINT) AS top_cnt,
+         |  CAST(sum(c * len(w)) AS BIGINT) AS char_sum,
+         |  CAST(sum(CASE WHEN w IN ('the','a','of','and','to','in') THEN c ELSE 0 END) AS BIGINT) AS stopword_hits
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS mean_word_len,
+         |  round(CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS frac_unique,
+         |  round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS top_token_frac,
+         |  stopword_hits,
+         |  (n_tokens >= 30
+         |    AND CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 5.0
+         |    AND CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+         |    AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.15
+         |    AND stopword_hits >= 2) AS keep
+         |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+      gopherFilters(Tables.documents(s, d))
+    },
+
+    Q("boilerplate_ngrams",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+         |df AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+         |per AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM grams JOIN df USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  round(CAST(n_boiler AS DOUBLE) / nullif(CAST(n_grams AS DOUBLE), 0.0), 9) AS boiler_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      boilerplate(Tables.documents(s, d))
+    }
+  )
+}

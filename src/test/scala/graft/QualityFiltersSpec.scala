@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.QualityFilters
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X22/X23 quality gates: thresholds must BIND (each gate rejects real
+  * docs) or the filter is decorative. */
+class QualityFiltersSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("gopher gates: keep split is non-degenerate and every gate fires") {
+    val out = QualityFilters.gopherFilters(
+      sources.Tables.documents(spark, sf001)).cache()
+    try {
+      val n = out.count()
+      val kept = out.filter(col("keep")).count()
+      assert(kept > 0 && kept < n, s"keep=$kept of $n is degenerate")
+      // each gate individually rejects at least one doc on this corpus
+      assert(out.filter(col("n_tokens") < 30).count() > 0)
+      assert(out.filter(col("mean_word_len") > 5.0).count() > 0)
+      assert(out.filter(col("frac_unique") < 0.4).count() > 0)
+      assert(out.filter(col("top_token_frac") > 0.15).count() > 0)
+      assert(out.filter(col("stopword_hits") < 2).count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("boilerplate fractions are well-formed and detect shared 5-grams") {
+    val out = QualityFilters.boilerplate(
+      sources.Tables.documents(spark, sf001)).cache()
+    try {
+      assert(out.filter(col("n_boiler") > col("n_grams")).count() == 0)
+      assert(out.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
+      assert(out.agg(sum(col("n_boiler"))).head().getLong(0) > 0,
+        "corpus has shared 5-grams; detector found none")
+    } finally out.unpersist()
+  }
+}
