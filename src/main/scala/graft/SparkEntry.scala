@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Clustering.all ++
       operators.QualityFilters.all ++
+      operators.RobustStats.all ++
+      operators.Funnel.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++
