@@ -26,6 +26,7 @@ object SparkEntry {
       operators.QualityFilters.all ++
       operators.RobustStats.all ++
       operators.Funnel.all ++
+      operators.RangeJoin.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++

@@ -88,6 +88,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "keyed dedup must not be a window over user_id")
   }
 
+  test("binned range join: interval match is an equi-join on bin, not a nested loop") {
+    val p = plan("range_join_binned")
+    // the probe⋈interval match must hash/merge on the bin key…
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin.*\\[bin".r.findFirstIn(p).isDefined,
+      s"bin match must be an equi-join:\n$p")
+    // …and the only nested-loop joins allowed are the single-row global
+    // stats broadcasts (their build side is an Aggregate of 1 row).
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the two 1-row stats broadcasts may nest-loop, saw $bnlj")
+  }
+
   test("whole-stage codegen covers the scalar hot paths") {
     // AQE wraps the plan and reports 0 codegen subtrees pre-execution —
     // inspect with AQE off (codegen behavior is identical underneath).
