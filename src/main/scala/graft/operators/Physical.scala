@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Q
-import graft.functions.{FirstCharPartitioner, TextFns}
+import graft.functions.{FirstCharPartitioner, InterleaveBitsEval, TextFns}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Physical-layout layer (SURVEY.md §2b G18–G19): the reference's exact
@@ -67,6 +68,29 @@ object Physical {
       .bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
 
+  /** X27: z-order (Morton) clustering of events by (user_id, value).
+    * Both dimensions are quantized to 16-bit positions against global
+    * min/max (a 1-row broadcast), interleaved by the native
+    * [[InterleaveBitsEval]] expression, then range-partitioned and
+    * sorted by the z-value. Files written from this layout are
+    * clustered in BOTH dimensions, so parquet footer min/max prunes
+    * 2-D box queries — 1-D sorting can only ever prune one of them.
+    * Quantization only affects placement, never results. */
+  def zorderEvents(events: DataFrame, nParts: Int): DataFrame = {
+    val g = events.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val uSpan = greatest(col("umax") - col("umin"), lit(1L)).cast("double")
+    val vSpan = greatest(col("vmax") - col("vmin"), lit(1e-9))
+    events.crossJoin(broadcast(g))
+      .withColumn("ub",
+        ((col("user_id") - col("umin")).cast("double") * 65535.0 / uSpan).cast("long"))
+      .withColumn("vb", ((col("value") - col("vmin")) * 65535.0 / vSpan).cast("long"))
+      .withColumn("z", InterleaveBitsEval(col("ub"), col("vb")))
+      .repartitionByRange(nParts, col("z"))
+      .sortWithinPartitions("z")
+  }
+
   def all: Seq[Q] = Seq(
 
     // G19 (oracled): the partitioner math as a scalar expression, over
@@ -93,6 +117,18 @@ object Physical {
         .repartitionByRange(8, col("ngram"))
         .sortWithinPartitions("ngram")
         .select(spark_partition_id().as("pid"), col("ngram"), col("cnt"))
+    },
+
+    // X27 (rows-only): per-partition 2-D bounding boxes of the z-order
+    // layout — each partition covers a tight box in BOTH dims (ZOrderSpec
+    // asserts the file-pruning win vs an unclustered layout).
+    Q.noOracle("zorder_layout") { (s, d) =>
+      zorderEvents(Tables.events(s, d), 8)
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ub")).as("ub_min"), max(col("ub")).as("ub_max"),
+          min(col("vb")).as("vb_min"), max(col("vb")).as("vb_max"))
+        .orderBy("pid")
     },
 
     // G18/G19 (rows-only): the reference's WCPartitioner layout exactly —
