@@ -27,6 +27,7 @@ object SparkEntry {
       operators.RobustStats.all ++
       operators.Funnel.all ++
       operators.RangeJoin.all ++
+      operators.HeavyHitters.all ++
       operators.Similarity.all ++
       operators.NearDup.all ++
       operators.Multimodal.all ++

@@ -63,6 +63,36 @@ object Sketches {
     override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
   }
 
+  /** Count-min sketch: d×w counter grid; each input row carries its d
+    * pre-hashed bucket indices (computed with the codegen'd `hash()`
+    * builtin, so the aggregator itself never hashes). Estimate(item) =
+    * min over rows of its d counters — never an underestimate, over by
+    * at most ε·N with ε = e/w (Cormode & Muthukrishnan 2005). Fixed
+    * 8·d·w-byte buffer regardless of stream size or group count — the
+    * same spill-safety rule as MinHash/SimHash above. */
+  class CountMinAgg(d: Int, w: Int) extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(b: Array[Long], idxs: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + idxs(i)) += 1L; i += 1 }
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: `countMin(d, w)(idxsCol)` over `array<int>` rows. */
+  def countMin(d: Int, w: Int): Column => Column = {
+    val fn = udaf(new CountMinAgg(d, w), ExpressionEncoder[Seq[Int]]())
+    c => fn(c)
+  }
+
   /** Column form: `minhash(k)(hashesCol)` over `array<bigint>` rows. */
   def minhash(k: Int): Column => Column = {
     val fn = udaf(new MinHashAgg(k), ExpressionEncoder[Seq[Long]]())
