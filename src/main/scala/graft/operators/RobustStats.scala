@@ -91,6 +91,32 @@ object RobustStats {
         |FROM wm JOIN mad USING (event_type)
         |GROUP BY wm.event_type ORDER BY wm.event_type""".stripMargin) { (s, d) =>
       madOutliers(Tables.events(s, d))
+    },
+
+    // Deterministic mode: most frequent priority per order status, with
+    // the (max count, then MIN value) convention stated explicitly —
+    // builtin mode() leaves ties engine-defined, so both sides implement
+    // the convention rather than the builtin. Aggregation-shaped (min of
+    // a (-cnt, value) struct), no low-cardinality window.
+    Q("mode_exact",
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY cnt DESC, o_orderpriority) = 1
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("cnt")).as("neg"), col("o_orderpriority").as("p")))
+          .as("m"))
+        .select(col("o_orderstatus"),
+          col("m.p").as("mode_priority"),
+          (-col("m.neg")).as("cnt"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -169,6 +169,23 @@ object Windows {
         // (11785 dup pairs at sf0.01) — adding pct_rank makes remaining
         // ties bit-identical rows, so row order is hash-safe
         .orderBy("l_orderkey", "l_linenumber", "pct_rank")
+    },
+
+    // G14: ntile decile assignment. The window orders by (totalprice,
+    // orderkey) — the unique-key tiebreak that makes tile boundaries
+    // engine-independent (ties at a decile edge would otherwise land by
+    // whichever engine's sort was stabler).
+    Q("window_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(10) OVER (PARTITION BY o_orderpriority
+        |                  ORDER BY o_totalprice, o_orderkey) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(10).over(w).as("decile"))
+        .orderBy("o_orderkey")
     }
   )
 }
