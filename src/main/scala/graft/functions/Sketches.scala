@@ -87,6 +87,65 @@ object Sketches {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Bounded top-k: per-group best k (score, id) pairs ordered by
+    * (score DESC, id ASC), kept as sorted arrays capped at k. Unlike a
+    * `row_number()<=k` window — which funnels every group into one task
+    * and sorts the ENTIRE group — this is an ordinary aggregation:
+    * partial buffers of ≤k entries combine map-side, so a hot group
+    * costs O(n·k) streaming work and k memory, never an n·log n sort.
+    * The id tiebreak makes results engine-deterministic. */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), (Array[Double], Array[Long]), Seq[(Double, Long)]] {
+
+    override def zero: (Array[Double], Array[Long]) =
+      (Array.empty[Double], Array.empty[Long])
+
+    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    override def reduce(b: (Array[Double], Array[Long]),
+                        a: (Double, Long)): (Array[Double], Array[Long]) = {
+      val (ss, ids) = b
+      val n = ss.length
+      if (n == k && !beats(a._1, a._2, ss(n - 1), ids(n - 1))) return b
+      var pos = n
+      while (pos > 0 && beats(a._1, a._2, ss(pos - 1), ids(pos - 1))) pos -= 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      System.arraycopy(ss, 0, ns, 0, pos)
+      System.arraycopy(ids, 0, ni, 0, pos)
+      if (pos < m) { ns(pos) = a._1; ni(pos) = a._2 }
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(ss, pos, ns, pos + 1, tail)
+        System.arraycopy(ids, pos, ni, pos + 1, tail)
+      }
+      (ns, ni)
+    }
+
+    override def merge(b1: (Array[Double], Array[Long]),
+                       b2: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+      var acc = b1
+      var i = 0
+      while (i < b2._1.length) { acc = reduce(acc, (b2._1(i), b2._2(i))); i += 1 }
+      acc
+    }
+
+    override def finish(b: (Array[Double], Array[Long])): Seq[(Double, Long)] =
+      b._1.toSeq.zip(b._2.toSeq)
+
+    override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+      ExpressionEncoder[(Array[Double], Array[Long])]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Column form: `topK(k)(scoreCol, idCol)`. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    (s, i) => fn(s, i)
+  }
+
   /** Column form: `countMin(d, w)(idxsCol)` over `array<int>` rows. */
   def countMin(d: Int, w: Int): Column => Column = {
     val fn = udaf(new CountMinAgg(d, w), ExpressionEncoder[Seq[Int]]())

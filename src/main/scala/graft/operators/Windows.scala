@@ -186,6 +186,29 @@ object Windows {
         col("o_orderkey"), col("o_orderpriority"),
         ntile(10).over(w).as("decile"))
         .orderBy("o_orderkey")
+    },
+
+    // G16 scale form: top-3 per group as a bounded-heap AGGREGATION
+    // (Sketches.TopKAgg) — same answer as the row_number()<=k window
+    // (the oracle), but with map-side partial merge and ≤k state per
+    // group: on a 100 TB hot key the window form sorts the whole group
+    // in one task; this form streams it.
+    Q("topk_per_group_agg",
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rnk, value, event_id
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.Sketches.topK(3)(
+          col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col._1").as("value"), col("col._2").as("event_id"))
+        .orderBy("event_type", "rnk")
     }
   )
 }

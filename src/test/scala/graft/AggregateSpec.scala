@@ -34,4 +34,22 @@ class AggregateSpec extends AnyFunSuite {
     val total = r.filter($"o_orderstatus".isNull).select("n").as[Long].head()
     assert(total == o.count())
   }
+
+  test("TopKAgg: any reduce/merge split equals sort-take, ties broken by id") {
+    import org.scalacheck.{Prop, Test => PTest}
+    val agg = new graft.functions.Sketches.TopKAgg(5)
+    val prop = Prop.forAll { (xs: List[(Double, Long)], cut0: Int) =>
+      // unique ids, no NaN scores — the engine contract for (score, id)
+      val clean = xs.filterNot(_._1.isNaN)
+        .groupBy(_._2).map(_._2.head).toList
+      val want = clean.sortBy { case (s, i) => (-s, i) }.take(5)
+      val cut = if (clean.isEmpty) 0 else math.abs(cut0 % (clean.size + 1))
+      val (l, r) = clean.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))).toList
+      merged == want
+    }
+    assert(PTest.check(PTest.Parameters.default, prop).passed)
+  }
 }
