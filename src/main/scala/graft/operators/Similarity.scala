@@ -246,6 +246,31 @@ object Similarity {
 
   def all: Seq[Q] = Seq(
 
+    // Per-label centroids in long form (label, dim position, mean):
+    // posexplode + hash agg on (label, pos) — 64 rows per label, never a
+    // per-label vector collect. Sums go through DECIMAL(38,12) so the
+    // per-dimension mean is accumulation-order independent (the
+    // float→double cast is lossless; double→decimal rounding is the
+    // same defined operation in both engines).
+    Q("embedding_centroids",
+      """WITH ex AS (
+        |  SELECT label, u.i - 1 AS pos,
+        |    CAST(embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+        |SELECT label, pos, count(*) AS n,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS centroid
+        |FROM ex GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          col("col").cast("double").cast("decimal(38,12)").as("v"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v")).cast("double") / count(lit(1)), 9).as("centroid"))
+        .orderBy("label", "pos")
+    },
+
     // X3: exact cosine top-10 for 8 query vectors (oracled — identical
     // double arithmetic both sides; rank over rounded cos + id tiebreak).
     Q("cosine_topk",
