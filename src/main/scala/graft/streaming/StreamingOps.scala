@@ -15,16 +15,27 @@ case class ProfileState(n_events: Long, total_value: Double,
 case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
                        first_ts_us: Long, last_ts_us: Long)
 
+/** Open-session state for [[StreamingOps.sessionizeStateful]]
+  * (primitives only, epoch micros). */
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+/** A CLOSED gap-session emitted by [[StreamingOps.sessionizeStateful]]:
+  * [start, last + gap), event count. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                         n_events: Long)
+
 /** Structured Streaming surface over `events` (SURVEY.md §2b G21–G23,
   * entry point C of §3.4).
   *
   * Every transform here is defined on an UNBOUNDED DataFrame and reuses
   * the same Catalyst expressions as the batch path — batch/stream
   * equivalence is asserted in StreamingSpec by running each transform
-  * both ways over the same parquet. State management is built-ins only
+  * both ways over the same parquet. State management prefers built-ins
   * (windowed aggregation state + `dropDuplicatesWithinWatermark`), per
-  * the SURVEY §7 watch-list: no hand-rolled `flatMapGroupsWithState`
-  * where a built-in holds.
+  * the SURVEY §7 watch-list; the custom-state APIs appear exactly where
+  * no built-in expresses the shape — [[userProfiles]] (arbitrary
+  * accumulator, mapGroupsWithState) and [[sessionizeStateful]]
+  * (multi-row closed-session emission, flatMapGroupsWithState).
   *
   * Scale posture: streaming state is keyed by (window, key) — the state
   * store shards by key hash across partitions exactly like a batch
@@ -161,6 +172,71 @@ object StreamingOps {
           }
           st.update(s)
           UserProfile(uid, s.n_events, s.total_value, s.first_ts_us, s.last_ts_us)
+      }
+  }
+
+  /** G23+: gap sessionization via `flatMapGroupsWithState` — the
+    * multi-row-emission stateful shape (`mapGroupsWithState` emits
+    * exactly one row per key per batch; a key can close SEVERAL
+    * sessions in one batch, and zero in most). Built-in
+    * `session_window` covers the aggregate form (see [[sessionCounts]]);
+    * this is the custom-state form a pipeline needs when the session
+    * record itself is user-defined (here: [start, last+gap) bounds and
+    * event count, extensible to arbitrary accumulators).
+    *
+    * Mechanics: state = the key's one open session. Events in each
+    * batch are sorted by event time and folded in; a gap > `gap` closes
+    * the open session (emitted downstream) and starts a new one. The
+    * surviving open session registers an event-time timeout at
+    * `last + gap` — when the watermark passes it, the session provably
+    * cannot extend (later rows would be late-dropped), so the timeout
+    * path emits it and clears state. Exactly the built-in's eviction
+    * rule, expressed through the public state API.
+    *
+    * Scale posture: state is one fixed-size record per ACTIVE key,
+    * sharded by key hash across the state store; watermark timeouts
+    * bound the active set. Rows older than the watermark are dropped
+    * before the function runs (standard late-data contract).
+    *
+    * Input: (user_id, ts) with `ts` a timestamp column; caller applies
+    * `withWatermark` on `ts` (required for EventTimeTimeout). */
+  def sessionizeStateful(events: Dataset[(Long, java.sql.Timestamp)],
+                         gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         st: GroupState[OpenSession]) =>
+          if (st.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = st.get
+            st.remove()
+            Iterator.single(ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n))
+          } else {
+            // micros via getTime (ms) * 1000: the driver data is ms-grained
+            val tsUs = rows.map(_._2.getTime * 1000L).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = st.getOption
+            tsUs.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_us <= gapUs =>
+                  cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n)
+                  cur = Some(OpenSession(t, t, 1L))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              st.update(s)
+              // timeout fires once watermark > last+gap (ms precision)
+              st.setTimeoutTimestamp(s.last_us / 1000L + gapUs / 1000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -170,6 +170,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00") == 1L)
   }
 
+  test("G23+ sessionization (flatMapGroupsWithState): gap + timeout closes == built-in session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000 // 30 minutes
+    val mem = MemoryStream[(Long, Timestamp)]
+    val input = mem.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds").as[(Long, Timestamp)]
+    val q = StreamingOps.sessionizeStateful(input, gapUs).writeStream
+      .format("memory").queryName("session_sink").outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      // user 1: session A = 10:00,10:10,10:20; session B = 12:00,12:05
+      // user 2: session A = 10:05; session B = 11:00
+      Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (2L, ts("2024-01-01 10:05:00"))),
+      Seq((1L, ts("2024-01-01 10:20:00")), (2L, ts("2024-01-01 11:00:00"))),
+      Seq((1L, ts("2024-01-01 12:00:00")), (1L, ts("2024-01-01 12:05:00"))))
+    data.foreach { b => mem.addData(b); q.processAllAvailable() }
+    // two sentinel batches: the first advances max-event-time, the second
+    // runs under that advanced watermark so EventTimeTimeout fires for
+    // every still-open session (except the sentinels' own)
+    mem.addData((999L, ts("2024-01-02 00:00:00"))); q.processAllAvailable()
+    mem.addData((999L, ts("2024-01-03 00:00:00"))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("session_sink")
+      .filter(col("user_id") =!= 999L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // oracle: the built-in session_window aggregate over the same rows
+    val want = data.flatten.toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")),
+        unix_micros(col("session_window.end")), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"stateful sessions != session_window:\n$got\n$want")
+
+    // batch form: timeouts never fire, so exactly the GAP-closed sessions
+    // (every session except each user's last) are emitted
+    val batch = StreamingOps.sessionizeStateful(
+      data.flatten.toDF("user_id", "ts").as[(Long, Timestamp)], gapUs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lastPerUser = want.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    assert(batch == want -- lastPerUser)
+  }
+
   test("G23+ custom state (mapGroupsWithState): multi-batch stream == batch, incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_us, value)
