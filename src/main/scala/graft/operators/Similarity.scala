@@ -244,6 +244,49 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("q_id", "rank")
   }
 
+  /** X31: per-vector affine int8 quantization of the embedding column —
+    * the memory/IO scale path for brute-force scans: 64 float32 (256 B)
+    * become 64 tinyint codes (64 B in Tungsten and in parquet) plus two
+    * doubles, a 4× cut in the bytes every scan-side task reads and
+    * caches. code = clamp(floor((x − lo)/step + ½), 0..255) − 128 with
+    * lo = min(v), step = (max(v) − lo)/255; floor keeps the arithmetic
+    * bit-portable across engines (no round-half tie semantics), so the
+    * codes themselves are oracle-comparable. step = 0 (constant vector)
+    * degenerates to all-zero codes. */
+  def quantizeSq8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("step", (array_max(col("v")) - col("lo")) / lit(255d))
+      .withColumn("codes",
+        when(col("step") === 0d,
+          transform(col("v"), _ => lit(-128).cast("byte")))
+          .otherwise(transform(col("v"), x =>
+            (least(floor((x - col("lo")) / col("step") + lit(0.5d)), lit(255d))
+              .cast("int") - lit(128)).cast("byte"))))
+
+  /** X31 search: brute-force cosine top-k over the QUANTIZED corpus —
+    * dequantize x̂ = lo + (code+128)·step on the fly, score against exact
+    * query vectors, same two-phase top-k as [[cosineTopK]]. At scale the
+    * quantized table is the thing that lives in cache/storage; the
+    * reconstruction error is bounded by step/2 per element (asserted in
+    * SimilaritySpec), so recall@10 stays ≈1 while the scan reads ¼ the
+    * bytes. */
+  def sq8TopK(emb: DataFrame, nQ: Int, k: Int): DataFrame = {
+    val vhat = transform(col("codes"), c =>
+      col("lo") + (c.cast("double") + lit(128d)) * col("step"))
+    val corpus = quantizeSq8(emb).filter(col("vec_id") >= nQ)
+      .select(col("vec_id"), vhat.as("v"))
+      .withColumn("n2", norm2(col("v")))
+    val q = emb.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn2", norm2(col("qv")))
+      .filter(col("q_id") < nQ)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+    topKPerQuery(scored, k).orderBy("q_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Per-label centroids in long form (label, dim position, mean):
@@ -302,6 +345,47 @@ object Similarity {
     // point are asserted in SimilaritySpec).
     Q.noOracle("ann_ivf_topk") { (s, d) =>
       ivfTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+    },
+
+    // X31: the int8 quantizer itself, oracled code-for-code — floor-based
+    // code arithmetic is bit-portable, so DuckDB reproduces every code;
+    // per-vector integer stats keep the compare compact. lo/step are raw
+    // doubles rounded once for display.
+    Q("sq8_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, v, list_min(v) AS lo,
+        |    (list_max(v) - list_min(v)) / 255 AS step
+        |  FROM v),
+        |c AS (
+        |  SELECT vec_id, lo, step,
+        |    CASE WHEN step = 0 THEN list_transform(v, x -> -128)
+        |         ELSE list_transform(v, x ->
+        |           CAST(least(floor((x - lo) / step + 0.5), 255) AS INT) - 128)
+        |    END AS codes
+        |  FROM p)
+        |SELECT vec_id, round(lo, 6) AS lo_r, round(step, 9) AS step_r,
+        |  len(codes) AS n_codes,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  list_min(codes) AS code_min, list_max(codes) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+      quantizeSq8(Tables.embeddings(s, d))
+        .select(col("vec_id"), round(col("lo"), 6).as("lo_r"),
+          round(col("step"), 9).as("step_r"),
+          size(col("codes")).as("n_codes"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => a + c.cast("long")).as("code_sum"),
+          array_min(col("codes")).cast("int").as("code_min"),
+          array_max(col("codes")).cast("int").as("code_max"))
+        .orderBy("vec_id")
+    },
+
+    // X31 search path: top-k over the dequantized int8 corpus (approx —
+    // no SQL oracle; recall vs the exact path + the step/2 per-element
+    // reconstruction bound are asserted in SimilaritySpec).
+    Q.noOracle("ann_sq8_topk") { (s, d) =>
+      sq8TopK(Tables.embeddings(s, d), nQ = 8, k = 10)
     }
   )
 }

@@ -106,6 +106,40 @@ object TimeWindows {
         .orderBy("user_id", "session_start")
     },
 
+    // G23++: batch form of the flatMapGroupsWithState gap sessionizer.
+    // In batch execution timeouts never fire, so EXACTLY the gap-closed
+    // sessions (every session except each user's event-time-last) are
+    // emitted — a deterministic, SQL-expressible subset: the oracle is
+    // the gaps-and-islands rewrite minus each user's max session id.
+    // Epoch-micros bounds keep the compare integer-exact across engines.
+    Q("sessions_stateful_closed",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |           >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, sid, min(ts_us) AS start_us,
+        |    max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |f AS (SELECT g.*, max(sid) OVER (PARTITION BY user_id) AS msid FROM g)
+        |SELECT user_id, start_us, end_us, n_events FROM f
+        |WHERE sid < msid
+        |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+      import s.implicits._
+      StreamingOps.sessionizeStateful(
+        Tables.events(s, d).select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)],
+        gapUs = 30L * 60 * 1000000)
+        .orderBy("user_id", "start_us").toDF()
+    },
+
     // G23+: batch form of the mapGroupsWithState per-user profile
     // (no-oracle: the custom accumulator sums doubles in stream arrival
     // order, which no SQL engine reproduces bit-for-bit; incremental

@@ -215,13 +215,19 @@ object StreamingOps {
             st.remove()
             Iterator.single(ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n))
           } else {
-            // micros via getTime (ms) * 1000: the driver data is ms-grained
-            val tsUs = rows.map(_._2.getTime * 1000L).toArray.sorted
+            // full-precision micros: getTime is ms-truncated, getNanos
+            // carries the complete fractional second (events.ts is µs)
+            val tsUs = rows.map { case (_, t) =>
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            }.toArray.sorted
             val closed = Seq.newBuilder[ClosedSession]
             var cur = st.getOption
             tsUs.foreach { t =>
               cur match {
-                case Some(s) if t - s.last_us <= gapUs =>
+                // strict <: a gap of EXACTLY `gap` starts a new session,
+                // matching built-in session_window's [start, last+gap)
+                // half-open merge rule (see time_window_session's oracle)
+                case Some(s) if t - s.last_us < gapUs =>
                   cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n)

@@ -82,6 +82,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "full-probe IVF differs from brute force")
   }
 
+  test("SQ8: reconstruction error is bounded by step/2 per element") {
+    import org.apache.spark.sql.functions._
+    // the defining property of affine round-to-nearest quantization;
+    // checked distributed (max over every element of every vector)
+    val viol = operators.Similarity.quantizeSq8(emb)
+      .select(col("vec_id"), col("lo"), col("step"),
+        zip_with(col("v"), col("codes"), (x, c) =>
+          abs(col("lo") + (c.cast("double") + lit(128d)) * col("step") - x)
+            > col("step") / 2 * 1.0000001).as("bad"))
+      .filter(exists(col("bad"), b => b))
+      .count()
+    assert(viol == 0L, s"$viol vectors violate the step/2 reconstruction bound")
+  }
+
+  test("SQ8 top-k: mean recall vs exact >= 0.9 (4x-compressed scan)") {
+    val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
+    val sq8 = topkSets(Similarity.sq8TopK(emb, nQ = 8, k = 10))
+    val recalls = exact.map { case (q, ids) =>
+      sq8.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean SQ8 recall $mean — int8 should barely perturb ranks")
+  }
+
   test("IVF top-k: mean recall >= 0.5 at the default operating point, and probing fraction is partial") {
     val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
     val ivf = topkSets(Similarity.ivfTopK(emb, nQ = 8, k = 10))
