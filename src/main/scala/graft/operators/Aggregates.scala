@@ -157,6 +157,36 @@ object Aggregates {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // G31: metadata-only statistics — global COUNT/MIN/MAX answered from
+    // parquet FOOTERS, zero data pages read. At 100 TB this turns a
+    // full-table scan into a per-file metadata read (seconds, not
+    // core-hours) for the row-count / value-range probes every pipeline
+    // runs constantly. Needs the DSv2 parquet path (v1 has no aggregate
+    // pushdown) plus spark.sql.parquet.aggregatePushdown, so both flips
+    // are scoped to THIS plan: localCheckpoint executes eagerly inside
+    // the conf window and later queries replan under the restored
+    // session conf. Integer key columns only — the pushdown rule rejects
+    // timestamp columns (footer-stats caveats), and long footer min/max
+    // is exact. PlanAuditSpec pins `PushedAggregation` in the v2 scan.
+    Q("agg_pushdown_stats",
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val pushKey = "spark.sql.parquet.aggregatePushdown"
+      val savedV1 = s.conf.get(v1Key)
+      val savedPush = s.conf.get(pushKey)
+      s.conf.set(v1Key, savedV1.split(",").map(_.trim).filter(_ != "parquet").mkString(","))
+      s.conf.set(pushKey, "true")
+      try Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+        .localCheckpoint()
+      finally { s.conf.set(v1Key, savedV1); s.conf.set(pushKey, savedPush) }
     }
   )
 }

@@ -153,4 +153,28 @@ class PlanAuditSpec extends AnyFunSuite {
       case (k, None) => spark2.conf.unset(k)
     }
   }
+
+  test("G31 metadata-only stats: COUNT/MIN/MAX push into the v2 parquet footer read") {
+    import org.apache.spark.sql.functions._
+    def stats() = sources.Tables.lineitem(spark, SparkTestSession.sf001)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+    val v1Rows = stats().collect().toSeq // default v1 path: full scan
+    SparkTestSession.withConf(
+      "spark.sql.sources.useV1SourceList" -> "avro,csv,json,kafka,orc,text",
+      "spark.sql.parquet.aggregatePushdown" -> "true") {
+      val pushed = stats()
+      val p = pushed.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate did not push into the scan:\n${p.take(3000)}")
+      // footer-derived values must equal the full-scan values exactly
+      assert(pushed.collect().toSeq == v1Rows)
+    }
+    // and the registry query (scoped conf flip + eager checkpoint) agrees
+    val reg = SparkEntry.queries("agg_pushdown_stats")(spark, SparkTestSession.sf001)
+    assert(reg.collect().toSeq == v1Rows)
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"),
+      "registry fn must restore the v1 source list")
+  }
 }
