@@ -72,6 +72,34 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  /** X32: per-doc token Shannon entropy — the repetitiveness signal
+    * quality pipelines threshold on (low entropy = word-soup spam /
+    * template text; high = diverse vocabulary). H = −Σ (c/n)·log₂(c/n)
+    * over the doc's token counts. Parity: the sum is a SEQUENTIAL fold
+    * over counts in sorted-token order (`array_sort` + `aggregate` HOF
+    * here ≡ DuckDB `list(... ORDER BY w)` + `list_sum`), so both engines
+    * accumulate in the same order; ÷ and unary − are IEEE-exact, log₂
+    * agrees to the ulp at 6 dp (same pattern tfidf proved out).
+    *
+    * Scale posture: explode → (doc, token) hash agg → per-doc agg; the
+    * collect_list is per-document vocabulary (bounded by doc length),
+    * never corpus-wide. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = col("n_tokens").cast("double")
+    tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        array_sort(collect_list(struct(col("w"), col("c")))).as("wc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        round(aggregate(col("wc"), lit(0.0d), (acc, x) => {
+          val p = x.getField("c").cast("double") / n
+          acc - p * log2(p)
+        }), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   private val duckToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0)"""
 
@@ -118,6 +146,22 @@ object QualityFilters {
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       boilerplate(Tables.documents(s, d))
+    },
+
+    Q("token_entropy",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w),
+         |agg AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  list(CAST(c AS DOUBLE) ORDER BY w) AS cs
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_unique,
+         |  round(list_sum(list_transform(cs,
+         |    c -> -(c / n_tokens) * log2(c / n_tokens))), 6) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      tokenEntropy(Tables.documents(s, d))
     }
   )
 }

@@ -25,6 +25,25 @@ class QualityFiltersSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("token entropy: 0 <= H <= log2(n_unique), and uniform toy docs hit the bound") {
+    val out = QualityFilters.tokenEntropy(
+      sources.Tables.documents(spark, sf001)).cache()
+    try {
+      assert(out.filter(col("entropy") < 0).count() == 0)
+      // H is maximized by the uniform distribution at log2(n_unique)
+      assert(out.filter(col("entropy") >
+        log2(col("n_unique").cast("double")) + 1e-6).count() == 0)
+      assert(out.filter(col("entropy") > 0).count() > 0, "all-zero entropy corpus?")
+    } finally out.unpersist()
+    // exact values on constructed docs: all-same-token => 0 bits;
+    // four distinct tokens once each => exactly 2 bits
+    import spark.implicits._
+    val toy = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = QualityFilters.tokenEntropy(toy)
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 2.0, got.toString)
+  }
+
   test("boilerplate fractions are well-formed and detect shared 5-grams") {
     val out = QualityFilters.boilerplate(
       sources.Tables.documents(spark, sf001)).cache()
