@@ -140,6 +140,35 @@ object TimeWindows {
         .orderBy("user_id", "start_us").toDF()
     },
 
+    // X33: batch form of the transformWithState activity profile (one
+    // batch over empty state ⇒ the final snapshot per user, which IS the
+    // plain groupBy aggregate — fully oracled; multi-batch incremental
+    // equivalence is asserted in StreamingSpec under RocksDB).
+    Q("user_activity_tws",
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |per AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tc GROUP BY user_id),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+        |  FROM tc)
+        |SELECT p.user_id, n_events, n_types, top_type
+        |FROM per p JOIN top t ON p.user_id = t.user_id AND t.rn = 1
+        |ORDER BY p.user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // batch TWS still runs through the state store; make sure the
+      // driver coordinator endpoint exists in this batch-only session
+      org.apache.spark.sql.graft.StateStoreBootstrap.ensureCoordinator(s)
+      StreamingOps.userActivity(
+        Tables.events(s, d).select(col("user_id"), col("event_type"))
+          .as[(Long, String)])
+        .orderBy("user_id").toDF()
+    },
+
     // G23+: batch form of the mapGroupsWithState per-user profile
     // (no-oracle: the custom accumulator sums doubles in stream arrival
     // order, which no SQL engine reproduces bit-for-bit; incremental

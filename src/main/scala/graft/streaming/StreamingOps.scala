@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Accumulator for [[StreamingOps.userProfiles]] — timestamps carried
@@ -23,6 +24,49 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long)
   * [start, last + gap), event count. */
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
                          n_events: Long)
+
+/** Snapshot emitted by [[StreamingOps.userActivity]] per key per batch:
+  * running totals plus the modal event type (lexicographic tiebreak). */
+case class UserActivity(user_id: Long, n_events: Long, n_types: Long,
+                        top_type: String)
+
+/** X33: `transformWithState` processor (the Spark 4 arbitrary-state API)
+  * holding TWO independent state variables per key — a ValueState running
+  * total and a MapState of per-event-type counts. `mapGroupsWithState`
+  * forces one monolithic state object per key (every update rewrites the
+  * whole blob); here each variable reads/writes its own state-store
+  * column family, so a high-cardinality map mutates one entry per event.
+  * TTLConfig.NONE because the key domain (users) is bounded; an
+  * unbounded domain would pass a TTL so idle keys age out of RocksDB. */
+class ActivityProcessor extends StatefulProcessor[Long, (Long, String), UserActivity] {
+  @transient private var total: ValueState[Long] = _
+  @transient private var byType: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+    byType = getHandle.getMapState[String, Long]("by_type",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[(Long, String)],
+                               tv: TimerValues): Iterator[UserActivity] = {
+    var n = if (total.exists()) total.get() else 0L
+    rows.foreach { case (_, t) =>
+      n += 1
+      byType.updateValue(t,
+        (if (byType.containsKey(t)) byType.getValue(t) else 0L) + 1L)
+    }
+    total.update(n)
+    var nTypes = 0L
+    var bt = ""
+    var bc = -1L
+    byType.iterator().foreach { case (t, c) =>
+      nTypes += 1
+      if (c > bc || (c == bc && t < bt)) { bt = t; bc = c }
+    }
+    Iterator.single(UserActivity(uid, n, nTypes, bt))
+  }
+}
 
 /** Structured Streaming surface over `events` (SURVEY.md §2b G21–G23,
   * entry point C of §3.4).
@@ -244,6 +288,18 @@ object StreamingOps {
             closed.result().iterator
           }
       }
+  }
+
+  /** X33: per-user activity profile via `transformWithState` — see
+    * [[ActivityProcessor]]. Streaming runs need the RocksDB state store
+    * provider (the only provider the API supports); the same call works
+    * on a batch Dataset (one batch over empty state).
+    *
+    * Input: (user_id, event_type). Update-mode snapshots per batch. */
+  def userActivity(events: Dataset[(Long, String)]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new ActivityProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** G23: stateful streaming dedup by event_id within the watermark —

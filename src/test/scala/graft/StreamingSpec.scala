@@ -215,6 +215,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == want -- lastPerUser)
   }
 
+  test("X33 transformWithState: two state variables, multi-batch stream == groupBy truth") {
+    implicit val sqlCtx = spark.sqlContext
+    SparkTestSession.withConf(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[(Long, String)] // (user_id, event_type)
+      val q = StreamingOps.userActivity(mem.toDS()).writeStream
+        .format("memory").queryName("activity_sink").outputMode("update").start()
+      val rows = Seq(
+        (1L, "click"), (2L, "view"),            // batch 1
+        (1L, "view"), (1L, "click"), (3L, "buy"), // batch 2
+        (2L, "view"), (1L, "view"))             // batch 3: user 1 ties 2-2 -> "click"
+      rows.grouped(2).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // update mode emits a snapshot per key per batch: keep the LAST
+      val got = spark.table("activity_sink")
+        .as[(Long, Long, Long, String)].collect()
+        .zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).values.toSet
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        val byT = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val top = byT.toSeq.minBy { case (t, c) => (-c, t) }._1
+        (u, rs.size.toLong, byT.size.toLong, top)
+      }.toSet
+      assert(got == want, s"$got != $want")
+      // user 1's count state crossed batches: snapshots 1 -> 3 -> 4
+      val u1 = spark.table("activity_sink")
+        .as[(Long, Long, Long, String)].collect().filter(_._1 == 1L).map(_._2).toSeq
+      assert(u1 == Seq(1L, 3L, 4L), s"expected incremental snapshots, got $u1")
+    }
+  }
+
+  test("X33 batch form: registry query is re-runnable (coordinator bootstrap is idempotent)") {
+    // the bench executes every registry fn 4x in one session, and this
+    // session has already run streaming queries (coordinator exists) —
+    // both paths of StateStoreBootstrap.ensureCoordinator must be safe
+    val fn = SparkEntry.queries("user_activity_tws")
+    val a = fn(spark, SparkTestSession.sf0001).collect()
+    val b = fn(spark, SparkTestSession.sf0001).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("G23+ custom state (mapGroupsWithState): multi-batch stream == batch, incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_us, value)
