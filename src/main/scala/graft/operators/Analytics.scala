@@ -353,6 +353,72 @@ object Analytics {
               |LIMIT 20""".stripMargin)
     },
 
+    // TPC-H Q18-style (large-volume customers): IN over a HAVING
+    // aggregate subquery on the fact table. Spelled DataFrame-first: the
+    // qualifying-order set is a partial-agg-friendly groupBy + filter,
+    // attached with a LEFT SEMI join on o_orderkey — at 100 TB both
+    // sides shuffle once on the order key and the semi join carries no
+    // payload columns from the subquery side.
+    Q("tpch_q18ish",
+      """SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l2.l_orderkey FROM lineitem l2
+        |  GROUP BY l2.l_orderkey
+        |  HAVING CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+        |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val bigOrders = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty_all"))
+        .filter(col("sum_qty_all") > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      Tables.orders(s, d)
+        .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q22-style (global sales opportunity; adapted — the driver
+    // schema has no c_phone, so the country code becomes the nation):
+    // an uncorrelated scalar aggregate threshold (computed once,
+    // broadcast) plus a correlated NOT EXISTS that Catalyst turns into
+    // an anti join against the filtered orders subset. The avg is
+    // spelled sum(DECIMAL)/count so both engines do identical final
+    // arithmetic.
+    Q("tpch_q22ish",
+      """SELECT n.n_name, count(*) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY n.n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT n.n_name, count(*) AS numcust,
+              |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+              |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+              |WHERE c.c_acctbal > (
+              |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              |    FROM customer c2 WHERE c2.c_acctbal > 0)
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM orders o
+              |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              |GROUP BY n.n_name
+              |ORDER BY n_name""".stripMargin)
+    },
+
     // TPC-H Q5-style: full star traversal (region → nation → customer →
     // orders → lineitem ⋈ supplier with co-nation constraint), revenue
     // per nation.

@@ -71,6 +71,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "EXISTS -> semi join and NOT EXISTS -> anti join, both on l_orderkey")
   }
 
+  test("Q18/Q22 decorrelation: semi join for HAVING-IN, anti join for NOT EXISTS") {
+    val q18 = plan("tpch_q18ish")
+    assert(!q18.contains("CartesianProduct") && !q18.contains("BroadcastNestedLoopJoin"),
+      "HAVING-IN must attach as a keyed join, never a loop join")
+    assert(q18.contains("LeftSemi"),
+      "qualifying-order set must attach as a semi join on o_orderkey")
+    assert(q18.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 100 must plan as top-k, not a full global sort")
+    val q22 = plan("tpch_q22ish")
+    assert(!q22.contains("CartesianProduct"),
+      "scalar threshold is a one-row subquery; correlation must not loop-join")
+    assert(q22.contains("LeftAnti"),
+      "NOT EXISTS over filtered orders must plan as an anti join on o_custkey")
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     assert(plan("top_k_orders").contains("TakeOrderedAndProject"))
   }
