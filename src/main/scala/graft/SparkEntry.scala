@@ -34,7 +34,8 @@ object SparkEntry {
       operators.TimeWindows.all ++
       operators.Analytics.all ++
       operators.PiiScrub.all ++
-      operators.Sampling.all
+      operators.Sampling.all ++
+      operators.TrainingPrep.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
