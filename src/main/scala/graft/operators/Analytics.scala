@@ -170,6 +170,54 @@ object Analytics {
         .orderBy("k")
     },
 
+    // SCD2 dimension-history build (the companion to cdc_upsert: turn an
+    // ordered change feed into type-2 validity intervals). Consecutive
+    // same-status orders per customer collapse into one run
+    // (gaps-and-islands: run id = running count of status CHANGES), each
+    // run becomes a version row [valid_from, valid_to) with the next
+    // run's start as its end; the open run is flagged current. All
+    // windows partition on o_custkey — one shuffle key end to end, and
+    // per-customer history is small and bounded, so no task skew at any
+    // scale. Ties on o_orderdate break by o_orderkey (deterministic).
+    Q("scd2_status_history",
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |  FROM orders),
+        |runs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus,
+        |    CAST(sum(CASE WHEN prev_status IS NULL OR prev_status <> o_orderstatus THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM h),
+        |per AS (
+        |  SELECT o_custkey, version, o_orderstatus AS status, min(o_orderdate) AS valid_from
+        |  FROM runs GROUP BY o_custkey, version, o_orderstatus)
+        |SELECT o_custkey, version, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+        |  CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM per ORDER BY o_custkey, version""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byOrder = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val byVersion = Window.partitionBy("o_custkey").orderBy("version")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          lag("o_orderstatus", 1).over(byOrder).as("prev_status"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderstatus"),
+          sum(when(col("prev_status").isNull
+            || col("prev_status") =!= col("o_orderstatus"), 1).otherwise(0))
+            .over(byOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("version"))
+        .groupBy("o_custkey", "version", "o_orderstatus")
+        .agg(min("o_orderdate").as("valid_from"))
+        .select(col("o_custkey"), col("version"), col("o_orderstatus").as("status"),
+          col("valid_from"),
+          lead("valid_from", 1).over(byVersion).as("valid_to"),
+          when(lead("valid_from", 1).over(byVersion).isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("o_custkey", "version")
+    },
+
     // Correlated scalar subquery (Catalyst decorrelates to an aggregate
     // + join): orders beating their customer's average price. Entry
     // point B — subqueries are SQL-surface constructs.
