@@ -43,6 +43,18 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Dev-only phase timing (`-Dgraft.cc.debug`): stderr per-phase wall
+    * times for the iterative loop — the cost here is round overhead, not
+    * data volume, so tuning needs job-level visibility. */
+  private def timed[T](tag: String)(f: => T): T =
+    if (!sys.props.contains("graft.cc.debug")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cc] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
   /** (doc_id, bucket) membership: bucket = band ':' band-min shingle md5 —
     * identical band arithmetic to `doc_fingerprint` (TextAnalysis). */
   def fingerprintBuckets(docs: DataFrame): DataFrame = {
@@ -87,8 +99,8 @@ object Clustering {
       // the filter-count materializes every cache partition it scans, so
       // one action both measures progress and pins the data the
       // checkpoint below re-reads (cheaply) to cut lineage.
-      changed = c.filter(col("moved")).count()
-      cur = c.drop("moved").localCheckpoint()
+      changed = timed("jump count")(c.filter(col("moved")).count())
+      cur = timed("jump checkpoint")(c.drop("moved").localCheckpoint())
       c.unpersist(false)
       jumps += 1
     }
@@ -114,16 +126,34 @@ object Clustering {
           .groupBy("bucket").agg(min(col("component")).as("bc"))
         val dmin = memb.join(bmin, "bucket")
           .groupBy("doc_id").agg(min(col("bc")).as("nc"))
-        val cand = lab.join(dmin, Seq("doc_id"), "left")
+        // Region-min contraction: nc is each doc's neighborhood min; the
+        // whole CURRENT region (docs sharing a root label) then adopts
+        // the min nc any member found — one extra groupBy + join keyed
+        // on the old component. Without it the global min crawls one
+        // region-hop per round and rounds grow with the component
+        // graph's diameter (measured: 17 rounds on sf0.001, a ~15-round
+        // tail moving <20 docs each); with it, every region merges with
+        // its min neighbor each round (local minima absorb neighbors,
+        // monotone chains collapse inside compress), so the region count
+        // contracts geometrically — O(log) rounds. rm is a min over
+        // labels, so labels still only take existing-label values (the
+        // parent-forest property compress relies on).
+        val cand0 = lab.join(dmin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("component"),
+            least(col("component"), coalesce(col("nc"), col("component"))).as("nc"))
+        val rm = cand0.groupBy("component").agg(min(col("nc")).as("rm"))
+        val cand = cand0.join(rm, "component")
           .select(col("doc_id"),
-            least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
-            (col("nc") < col("component")).as("moved"))
+            least(col("nc"), col("rm")).as("component"),
+            (least(col("nc"), col("rm")) < col("component")).as("moved"))
           .cache()
         // step A moved nothing ⇒ global fixpoint (compress only chases
         // pointers step A created) — one count doubles as the outer
         // convergence test and the cache materializer.
-        changed = cand.filter(col("moved")).count()
-        if (changed > 0) lab = compress(cand.drop("moved"), maxJumps = 40)
+        changed = timed("stepA count")(cand.filter(col("moved")).count())
+        if (sys.props.contains("graft.cc.debug"))
+          System.err.println(s"[cc] round $round changed=$changed")
+        if (changed > 0) lab = timed("compress")(compress(cand.drop("moved"), maxJumps = 40))
         cand.unpersist(false)
         round += 1
       }
