@@ -35,7 +35,8 @@ object SparkEntry {
       operators.Analytics.all ++
       operators.PiiScrub.all ++
       operators.Sampling.all ++
-      operators.TrainingPrep.all
+      operators.TrainingPrep.all ++
+      operators.Profiling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -86,6 +86,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "NOT EXISTS over filtered orders must plan as an anti join on o_custkey")
   }
 
+  test("profile_columns: one scan, Expand-based multi-distinct, pruned read") {
+    val p = plan("profile_columns")
+    assert("FileScan parquet".r.findAllIn(p).size == 1
+      || "Scan parquet".r.findAllIn(p).size == 1,
+      "all 4 column profiles must ride ONE pass over lineitem, not 4 scans")
+    assert(p.contains("Expand"),
+      "multiple exact count(DISTINCT) must plan via Expand (one shuffle), " +
+        "not separate aggregations")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double>")
+      || p.contains("l_discount"), "scan must prune to the 4 profiled columns")
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     assert(plan("top_k_orders").contains("TakeOrderedAndProject"))
   }
