@@ -36,7 +36,8 @@ object SparkEntry {
       operators.PiiScrub.all ++
       operators.Sampling.all ++
       operators.TrainingPrep.all ++
-      operators.Profiling.all
+      operators.Profiling.all ++
+      operators.Cohorts.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
