@@ -37,7 +37,8 @@ object SparkEntry {
       operators.Sampling.all ++
       operators.TrainingPrep.all ++
       operators.Profiling.all ++
-      operators.Cohorts.all
+      operators.Cohorts.all ++
+      operators.BloomJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -163,4 +163,43 @@ object Sketches {
     val fn = udaf(new SimHashAgg, ExpressionEncoder[Long]())
     c => fn(c)
   }
+
+  /** Bloom filter: fixed `numBits`-bit set as a long-word array, k bit
+    * positions per key by double hashing pos_i = h1 + i·h2 (mod
+    * numBits; h2 forced odd upstream so the probe sequence never
+    * degenerates). Input rows are precomputed (h1, h2) hash pairs,
+    * already reduced mod numBits by the caller — position arithmetic is
+    * overflow-free by construction, so `floorMod` here and Spark `pmod`
+    * on the probe side agree bit-for-bit (ANSI mode forbids relying on
+    * wrap-around). Merge is word-wise OR: commutative,
+    * associative, fixed-size — the partial/final and spill rules apply
+    * untouched. No false negatives ever; false-positive rate set by
+    * numBits/k vs the insert count (BloomSpec pins both properties). */
+  class BloomAgg(numBits: Int, k: Int) extends Aggregator[(Long, Long), Array[Long], Seq[Long]] {
+    require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+    override def reduce(b: Array[Long], h: (Long, Long)): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val pos = java.lang.Math.floorMod(h._1 + i.toLong * h._2, numBits.toLong).toInt
+        b(pos >>> 6) |= (1L << (pos & 63))
+        i += 1
+      }
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+      b1
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: `bloom(numBits, k)(h1Col, h2Col)`. */
+  def bloom(numBits: Int, k: Int): (Column, Column) => Column = {
+    val fn = udaf(new BloomAgg(numBits, k), ExpressionEncoder[(Long, Long)]())
+    (h1, h2) => fn(h1, h2)
+  }
 }
