@@ -38,7 +38,10 @@ object SparkEntry {
       operators.TrainingPrep.all ++
       operators.Profiling.all ++
       operators.Cohorts.all ++
-      operators.BloomJoin.all
+      operators.BloomJoin.all ++
+      operators.TimeSeries.all ++
+      operators.Sequences.all ++
+      operators.Audit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -232,6 +232,28 @@ object Scalars {
         try_element_at(props, lit("k")).cast("long").as("k_val"),
         array_join(map_keys(props), ",").as("key_list"))
         .orderBy("event_id")
+    },
+
+    // G9b: VARIANT ingestion (Spark 4's semi-structured type): parse the
+    // JSON once into a binary variant, then typed-path extraction —
+    // unlike from_json there is no up-front schema, so heterogeneous
+    // payloads ride one column and each consumer extracts the paths it
+    // needs. The parse is scan-local; the aggregate after it is an
+    // ordinary partial/final hash agg on event_type. Sum is exact int64;
+    // the avg is derived sum/count so both engines divide identical
+    // exact integers (no accumulation-order drift).
+    Q("variant_json",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(sum(col("k")) / count(lit(1)).cast("double"), 6).as("avg_k"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series window shapes (X40), beyond the row-frame windows of
+  * `Windows.scala`: TIME-RANGE frames (the frame is an interval of
+  * event time, not a row count — 7 calendar days of orders regardless of
+  * how many orders landed in them) and DATE-SPINE GAP FILL (densify a
+  * sparse per-key daily series to one row per calendar day, carrying the
+  * last observation forward — the feature-engineering step that turns
+  * irregular transactions into the regular grid a training pipeline
+  * windows over).
+  *
+  * Scale posture: both are single hash-shuffle window operators
+  * partitioned by customer (high cardinality — tasks bound by per-key
+  * history, same argument as `Windows.scala`). The spine explode
+  * multiplies rows by each key's day-span, not the table size; the
+  * per-key span is data-bounded (a key active D days yields D rows —
+  * that IS the output contract), and generation is scan-local
+  * (`sequence()` per key, no driver-side calendar, no join against a
+  * global date dimension that would need its own broadcast).
+  */
+object TimeSeries {
+
+  def all: Seq[Q] = Seq(
+
+    // X40a: rolling 7-day spend per customer — RANGE frame over event
+    // time. Frame = [t − 7 days, t] INCLUSIVE on both ends in both
+    // engines (Spark rangeBetween lower bound is inclusive; DuckDB RANGE
+    // ... PRECEDING likewise), anchored on epoch seconds so the Spark
+    // frame arithmetic is integer-exact. Decimal sum: order-independent
+    // across frame evaluation orders (doubles would drift run-to-run).
+    Q("rolling_time_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS spend_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("sec"))
+        .rangeBetween(-7L * 24 * 3600, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("sec", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("o_totalprice").cast(DecimalType(38, 4))).over(w)
+            .cast("double").as("spend_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // X40b: per-customer daily spine + forward fill. One row per
+    // calendar day from the customer's first to last order; days with no
+    // orders carry the previous day's total forward (`last(_, ignoreNulls)`
+    // over an unbounded-preceding row frame — the fill can never be null:
+    // day 0 is the customer's first order day by construction). The daily
+    // pre-aggregate runs BEFORE the spine join, so the window works on
+    // one row per (customer, active day), not per order.
+    Q("gap_fill_forward",
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS day_spend
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT o_custkey, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+        |  FROM daily GROUP BY o_custkey)
+        |SELECT s.o_custkey, s.d,
+        |  dd.day_spend IS NOT NULL AS observed,
+        |  last_value(dd.day_spend IGNORE NULLS) OVER (
+        |    PARTITION BY s.o_custkey ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_spend
+        |FROM spine s LEFT JOIN daily dd ON dd.o_custkey = s.o_custkey AND dd.d = s.d
+        |ORDER BY s.o_custkey, s.d""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 4)))
+          .cast("double").as("day_spend"))
+      val spine = daily.groupBy("o_custkey")
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("o_custkey"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("o_custkey", "d"), "left")
+        .select(col("o_custkey"), col("d"),
+          col("day_spend").isNotNull.as("observed"),
+          last(col("day_spend"), ignoreNulls = true).over(w).as("filled_spend"))
+        .orderBy("o_custkey", "d")
+    }
+  )
+}
