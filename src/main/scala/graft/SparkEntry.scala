@@ -41,7 +41,8 @@ object SparkEntry {
       operators.BloomJoin.all ++
       operators.TimeSeries.all ++
       operators.Sequences.all ++
-      operators.Audit.all
+      operators.Audit.all ++
+      operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

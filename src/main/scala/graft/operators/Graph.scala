@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph centrality (X44): PageRank over the supplier↔customer
+  * interaction graph (an edge where a supplier's lineitem sits in a
+  * customer's order), symmetrized — "which participants sit at the
+  * center of trade". Complements X21's connected components: cc answers
+  * reachability, PageRank ranks within the reached.
+  *
+  * Fixed-iteration form (3 rounds, d = 0.85) rather than
+  * converge-to-epsilon: the result is a deterministic function of the
+  * input — oracle-able as three chained SQL CTEs — and at 100 TB a
+  * fixed small round count IS the production shape (each round = one
+  * join + one hash agg on high-cardinality node keys; rank state is
+  * 2 columns/node).
+  *
+  * Cross-engine float discipline: per-edge contribution r/deg is a
+  * single IEEE division (exact-rounded, no libm), accumulated as
+  * DECIMAL(38,18) so the shuffle-order of addition cannot change the
+  * sum; the damping step is two IEEE ops on identical inputs. The
+  * symmetric graph has no dangling nodes (every node has outdeg ≥ 1),
+  * so no leaked-mass correction term is needed. Output is rank
+  * NORMALIZED to uniform (r·N — 1.0 = average), rounded to 6 dp.
+  *
+  * The static edge/degree tables feed all three unrolled rounds of one
+  * plan, so they are materialized ONCE up front (`localCheckpoint`, the
+  * iterative-state convention of the IVF trainer / cc loop; at cluster
+  * scale: a persisted edge table) — leaving them lazy re-runs the
+  * fact-join scan per round (measured 3× the cost at sf0.1).
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Rounds = 3
+
+  /** One PageRank step: rank' = (1−d)/N + d·Σ_in rank(src)/deg(src).
+    * The rank×deg side is |nodes| rows — broadcast it into the edge
+    * table (which stays partitioned where its checkpoint put it), so a
+    * round costs one map-side join + one partial/final agg; only the
+    * |nodes|-sized aggregate output shuffles. */
+  private def step(rank: DataFrame, sym: DataFrame, deg: DataFrame, nn: DataFrame): DataFrame =
+    sym.join(broadcast(rank.join(deg, "node")), col("src") === col("node"))
+      .select(col("dst"),
+        (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+      .crossJoin(broadcast(nn))
+      .select(col("dst").as("node"),
+        (lit(1.0 - Damping) / col("nn") +
+          lit(Damping) * col("s").cast("double")).as("r"))
+
+  def all: Seq[Q] = Seq(
+
+    Q("pagerank_trade",
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM deg),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS r FROM deg, n),
+        |r1 AS (
+        |  SELECT s.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / nn + 0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM r0 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+        |  GROUP BY s.dst, nn),
+        |r2 AS (
+        |  SELECT s.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / nn + 0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM r1 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+        |  GROUP BY s.dst, nn),
+        |r3 AS (
+        |  SELECT s.dst AS node,
+        |    CAST(0.15 AS DOUBLE) / nn + 0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM r2 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+        |  GROUP BY s.dst, nn)
+        |SELECT CASE WHEN r3.node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+        |  r3.node // 2 AS node_key, round(r3.r * n.nn, 6) AS pr
+        |FROM r3, n ORDER BY kind, node_key""".stripMargin) { (s, d) =>
+      // node id = key·2 (+1 for customers): the namespace tag lives in
+      // the low bit so edges shuffle as longs, not concatenated strings
+      // (measured: string node ids double the per-round shuffle cost)
+      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      // namespaces are disjoint (low bit), so the reversed edges can
+      // never collide with the forward ones — plain union, no dedup
+      val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nn = deg.agg(count(lit(1)).as("nn")).localCheckpoint()
+      val r0 = deg.crossJoin(broadcast(nn))
+        .select(col("node"), (lit(1.0) / col("nn")).as("r"))
+      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => step(r, sym, deg, nn))
+      r3.crossJoin(broadcast(nn))
+        .select(
+          when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
+          (col("node") / 2).cast("long").as("node_key"),
+          round(col("r") * col("nn"), 6).as("pr"))
+        .orderBy("kind", "node_key")
+    }
+  )
+}

@@ -5,7 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deterministic sampling & splitting (SURVEY.md §2b X20) — the two
+/** Deterministic sampling & splitting (SURVEY.md §2b X20, X43) — the
   * selection ops every training-data pipeline runs before anything
   * else, built hash-deterministic so they are reproducible across
   * engines, runs, AND cluster sizes (unlike `df.sample`, whose output
@@ -61,6 +61,39 @@ object Sampling {
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
       stratifiedCap(Tables.documents(s, d), "lang", "doc_id", 50)
         .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // X43: deterministic WEIGHTED sampling without replacement
+    // (Efraimidis–Spirakis A-ES): per stratum, keep the k rows with the
+    // smallest exponential jitter key = −ln(u)/w — each row's selection
+    // probability is proportional to its weight (here: text length, the
+    // "sample long documents more" corpus-mixing knob). u comes from a
+    // 52-bit md5 slice so u = (m+1)/2^52 is bit-identical across engines
+    // (integer + power-of-two division, both exact in double); the only
+    // engine-variant step is libm ln, which can flip ordering only for
+    // keys within ~1 ulp — measure-zero under continuous weights, and
+    // doc_id tiebreaks make even that deterministic. Same
+    // scale shape as X20a: scan-side key, per-stratum window.
+    Q("weighted_sample",
+      """SELECT doc_id, lang, weight FROM (
+        |  SELECT doc_id, lang, len(text) AS weight,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 13) AS BIGINT) + 1.0)
+        |          / 4503599627370496.0)
+        |        / greatest(len(text), 1),
+        |      doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val m = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":wsample"))), 1, 13),
+        16, 10).cast("double")
+      val u = (m + lit(1.0)) / lit(4503599627370496.0) // (m+1) / 2^52 ∈ (0,1]
+      val key = -log(u) / greatest(length(col("text")), lit(1)).cast("double")
+      Tables.documents(s, d)
+        .withColumn("weight", length(col("text")).cast("long"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(key.asc, col("doc_id"))))
+        .filter(col("__rn") <= 20)
+        .select("doc_id", "lang", "weight").orderBy("doc_id")
     },
 
     // X20b: deterministic 90/5/5 split, scan-local.

@@ -18,11 +18,11 @@ import org.apache.spark.sql.types.DecimalType
   * Scale posture: both are single hash-shuffle window operators
   * partitioned by customer (high cardinality — tasks bound by per-key
   * history, same argument as `Windows.scala`). The spine explode
-  * multiplies rows by each key's day-span, not the table size; the
-  * per-key span is data-bounded (a key active D days yields D rows —
-  * that IS the output contract), and generation is scan-local
-  * (`sequence()` per key, no driver-side calendar, no join against a
-  * global date dimension that would need its own broadcast).
+  * multiplies rows by each key's day-span, not the table size, so the
+  * fill is scoped to a reporting window that caps the span per key
+  * (31 days here); generation is scan-local (`sequence()` per key, no
+  * driver-side calendar, no join against a global date dimension that
+  * would need its own broadcast).
   */
 object TimeSeries {
 
@@ -56,18 +56,25 @@ object TimeSeries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
-    // X40b: per-customer daily spine + forward fill. One row per
-    // calendar day from the customer's first to last order; days with no
-    // orders carry the previous day's total forward (`last(_, ignoreNulls)`
-    // over an unbounded-preceding row frame — the fill can never be null:
-    // day 0 is the customer's first order day by construction). The daily
-    // pre-aggregate runs BEFORE the spine join, so the window works on
-    // one row per (customer, active day), not per order.
+    // X40b: per-customer daily spine + forward fill over ONE reporting
+    // month. One row per calendar day from the customer's first to last
+    // in-month order; days with no orders carry the previous day's total
+    // forward (`last(_, ignoreNulls)` over an unbounded-preceding row
+    // frame — the fill can never be null: day 0 is the customer's first
+    // in-month order day by construction). The daily pre-aggregate runs
+    // BEFORE the spine join, so the window works on one row per
+    // (customer, active day), not per order. The month scope is what
+    // bounds the operator: an unbounded spine multiplies every key by
+    // its LIFETIME span (measured 240× densification on this data —
+    // first-to-last order covers years), while a reporting window caps
+    // the per-key span at 31 rows no matter how the corpus grows.
     Q("gap_fill_forward",
       """WITH daily AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS day_spend
-        |  FROM orders GROUP BY 1, 2),
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |  GROUP BY 1, 2),
         |spine AS (
         |  SELECT o_custkey, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
         |  FROM daily GROUP BY o_custkey)
@@ -79,6 +86,8 @@ object TimeSeries {
         |FROM spine s LEFT JOIN daily dd ON dd.o_custkey = s.o_custkey AND dd.d = s.d
         |ORDER BY s.o_custkey, s.d""".stripMargin) { (s, d) =>
       val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
         .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
         .agg(sum(col("o_totalprice").cast(DecimalType(38, 4)))
           .cast("double").as("day_spend"))
