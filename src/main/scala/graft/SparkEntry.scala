@@ -42,7 +42,8 @@ object SparkEntry {
       operators.TimeSeries.all ++
       operators.Sequences.all ++
       operators.Audit.all ++
-      operators.Graph.all
+      operators.Graph.all ++
+      operators.Ranking.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
