@@ -35,7 +35,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Damping and teleport constants as the LITERALS the oracle SQL also
+    * writes (0.85 / 0.15) — computing `1.0 - 0.85` instead yields
+    * 0.15000000000000002, one ulp above double("0.15"), and that ulp
+    * would enter every node's rank every round on the Spark side only. */
   private val Damping = 0.85
+  private val Teleport = 0.15
   private val Rounds = 3
 
   /** One PageRank step: rank' = (1−d)/N + d·Σ_in rank(src)/deg(src).
@@ -50,7 +55,7 @@ object Graph {
       .groupBy("dst").agg(sum(col("c")).as("s"))
       .crossJoin(broadcast(nn))
       .select(col("dst").as("node"),
-        (lit(1.0 - Damping) / col("nn") +
+        (lit(Teleport) / col("nn") +
           lit(Damping) * col("s").cast("double")).as("r"))
 
   def all: Seq[Q] = Seq(

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.DecimalType
   * stats (N, Σdl) ride in as a broadcast single row — never a collect.
   *
   * Cross-engine float discipline (same contract as pagerank_trade):
-  * every constant is written as the SAME literal on both sides (1.2 and
-  * 2.2 as literals — computing k1+1 at runtime yields a DIFFERENT double
-  * than the literal 2.2), every int→double promotion is explicit, and
+  * every constant is written as the SAME literal on both sides rather
+  * than derived at runtime — derivations are safe only when exact in
+  * binary (1.2+1.0 happens to equal double("2.2"), but 1.0−0.85 is one
+  * ulp OFF double("0.15")), so literals-only is the rule that never
+  * needs a per-constant proof. Every int→double promotion is explicit, and
   * the only libm call is one ln per (doc, term). Per-term scores are
   * accumulated as DECIMAL(38,12) so the 3-row per-doc sum cannot depend
   * on aggregation order; output rounds to 6 dp.
