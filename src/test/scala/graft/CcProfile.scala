@@ -11,7 +11,9 @@ class CcProfile extends AnyFunSuite {
 
   test("profile") {
     sys.props("graft.cc.debug") = "true"
-    val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)
+    // -Dgraft.cc.sf=/root/testdata/sf0.1 to profile at bench scale
+    val sfDir = sys.props.getOrElse("graft.cc.sf", SparkTestSession.sf0001)
+    val docs = sources.Tables.documents(spark, sfDir)
     val memb = Clustering.fingerprintBuckets(docs)
     val t0 = System.nanoTime()
     val out = Clustering.connectedComponents(docs, memb)
