@@ -43,7 +43,8 @@ object SparkEntry {
       operators.Sequences.all ++
       operators.Audit.all ++
       operators.Graph.all ++
-      operators.Ranking.all
+      operators.Ranking.all ++
+      operators.Associations.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

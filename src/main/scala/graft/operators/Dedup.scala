@@ -112,6 +112,43 @@ object Dedup {
           round(try_divide(inter,
             (size(col("s1")) + size(col("s2"))).cast("double") - inter), 9).as("jaccard"))
         .orderBy("id1")
+    },
+
+    // Incremental-ingest dedup: screen a NEW batch of documents against
+    // the fingerprints of the already-ingested corpus, keeping only
+    // batch docs whose fingerprint is unseen — the daily-ingest shape
+    // (batch ⋉̸ corpus) where the corpus index is consulted, never
+    // rebuilt. Here the corpus/batch split is doc_id parity; the
+    // fingerprint is md5 of the first 3 normalized tokens (a prefix
+    // fingerprint coarse enough to have real collisions on this
+    // corpus — an exact-content hash would match nothing and screen
+    // nothing).
+    //
+    // 100 TB posture: LEFT ANTI join shuffles on the 16-byte hash
+    // (uniform keys, no skew); the corpus side is distinct-reduced to
+    // one row per fingerprint before the join, so the shuffle carries
+    // the index, not the corpus. The batch side (today's ingest) is
+    // orders of magnitude smaller than the corpus and never blocks on
+    // corpus size.
+    Q("dedup_incremental",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |fps AS (SELECT doc_id, md5(array_to_string(t[1:3], ' ')) AS fp FROM toks),
+        |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, b.fp AS fingerprint FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(slice(TextFns.tokens(col("text")), 1, 3), " ")).as("fp"))
+      val corpus = fps.filter(col("doc_id") % 2 === 0)
+        .select(col("fp").as("cfp")).distinct()
+      fps.filter(col("doc_id") % 2 === 1)
+        .join(corpus, col("fp") === col("cfp"), "left_anti")
+        .select(col("doc_id"), col("fp").as("fingerprint"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -102,6 +102,55 @@ object TimeSeries {
           col("day_spend").isNotNull.as("observed"),
           last(col("day_spend"), ignoreNulls = true).over(w).as("filled_spend"))
         .orderBy("o_custkey", "d")
+    },
+
+    // X40c: rolling z-score anomaly flag — each order scored against
+    // its customer's trailing 6-order window (5 preceding + current).
+    // Mean/variance come from EXACT decimal power sums over the frame
+    // (the stat_aggregates discipline: decimal sums are
+    // order-independent, then ONE identical double formula on both
+    // engines — a frame-ordered double sum would drift run-to-run).
+    // Undefined scores (window shorter than 3, or zero variance) stay
+    // NULL and flag false. One hash shuffle partitioned by customer
+    // (high cardinality); frame is a constant 6 rows, so per-task work
+    // is linear in partition size — the standard streaming-feature
+    // backfill shape.
+    Q("anomaly_rolling_z",
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS x,
+        |    count(*) OVER win AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) OVER win AS DOUBLE) AS s2
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, n,
+        |  CASE WHEN n > 2 AND (s2 - s1 * s1 / n) > 0
+        |    THEN round((x - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9)
+        |  END AS z,
+        |  CASE WHEN n > 2 AND (s2 - s1 * s1 / n) > 0
+        |         AND abs((x - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2
+        |       THEN TRUE ELSE FALSE END AS is_outlier
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val win = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-5, Window.currentRow)
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("x"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("x"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("x").cast(DecimalType(18, 2))).over(win).cast("double").as("s1"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 4))).over(win)
+            .cast("double").as("s2"))
+      val varN = col("s2") - col("s1") * col("s1") / col("n")
+      val zRaw = (col("x") - col("s1") / col("n")) / sqrt(varN / (col("n") - 1))
+      val defined = col("n") > 2 && varN > 0
+      base.select(col("o_custkey"), col("o_orderkey"), col("n"),
+        when(defined, round(zRaw, 9)).as("z"),
+        when(defined && abs(zRaw) > 2, lit(true)).otherwise(false).as("is_outlier"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }

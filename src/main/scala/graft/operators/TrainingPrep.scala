@@ -39,6 +39,42 @@ object TrainingPrep {
     * the training corpus being screened. */
   private val EvalMod = 97
 
+  /** Max tokens per packed training bin (pack_greedy_tokens). */
+  private val PackBudget = 512
+
+  /** Greedy sequential packing: fold (group, doc_id, n_tok) rows into
+    * fixed-budget bins, in doc_id order within each group, opening a new
+    * bin when the next doc would overflow. An oversized doc (> budget
+    * alone) lands in a bin of its own: it never overflows an EMPTY bin
+    * at entry (fill = 0), and the doc after it always opens a new bin.
+    * Input must have columns (doc_id, n_tok) plus the `groupCols`;
+    * output adds `bin` (0-based per group). */
+  def packGreedy(docs: org.apache.spark.sql.DataFrame, budget: Int,
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val folded = docs.groupBy(groupCols.map(col): _*)
+      // array_sort on (doc_id, n_tok) structs = doc_id order (unique key)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_tok")))).as("ds"))
+      .withColumn("bins", aggregate(
+        col("ds"),
+        struct(lit(0).as("bin"), lit(0L).as("fill"),
+          array().cast("array<int>").as("bins")),
+        (acc, x) => {
+          val over = acc.getField("fill") > 0 &&
+            acc.getField("fill") + x.getField("n_tok") > budget
+          val nb = when(over, acc.getField("bin") + 1).otherwise(acc.getField("bin"))
+          struct(nb.as("bin"),
+            when(over, x.getField("n_tok"))
+              .otherwise(acc.getField("fill") + x.getField("n_tok")).as("fill"),
+            concat(acc.getField("bins"), array(nb)).as("bins"))
+        },
+        acc => acc.getField("bins")))
+    folded
+      .select(groupCols.map(col) :+ explode(arrays_zip(col("ds"), col("bins"))).as("z"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("z.ds.doc_id").as("doc_id"), col("z.ds.n_tok").as("n_tok"),
+        col("z.bins").as("bin")): _*)
+  }
+
   /** Contamination gram length. Published decontamination setups use
     * 8–13-token shingles; the synthetic driver corpus draws ~45 distinct
     * words, so grams that long never collide across documents and the
@@ -127,6 +163,56 @@ object TrainingPrep {
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_grams"), 6).as("contamination"))
         .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing: assign whole documents to fixed-budget
+    // training bins (max 512 tokens per bin), first-come in doc_id
+    // order, opening a new bin when the next doc would overflow —
+    // the tokenizer-level packing step that turns a chunked corpus
+    // into fixed-length training sequences with minimal padding.
+    //
+    // The fold is SEQUENTIAL by nature (bin state carries across
+    // docs), which no window function expresses; the scale answer is
+    // the same one real packers use: pack within a SHARD, not
+    // globally — greedy packing has no cross-shard quality benefit,
+    // so the corpus is hash-sharded (here doc_id % 16; shard count
+    // grows with the corpus) and each task folds one (lang, shard)
+    // group via the `aggregate` HOF over the sorted doc array. No
+    // low-cardinality funnel: parallelism = langs × shards.
+    //
+    // Engine parity: the fold is integer arithmetic only (token
+    // counts, bin ids) in identical order (doc_id sort), so Spark's
+    // HOF fold and DuckDB's recursive-CTE step produce identical
+    // rows. An oversized doc (> 512 tokens alone) occupies its own
+    // bin: it enters the current bin only when that bin is empty
+    // (fill = 0 ⇒ never "overflows" at entry), and the next doc
+    // always opens a new bin.
+    Q("pack_greedy_tokens",
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, lang, doc_id % 16 AS shard,
+         |    len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'),
+         |                    t -> len(t) > 0)) AS n_tok
+         |  FROM documents),
+         |ord AS (
+         |  SELECT doc_id, lang, shard, n_tok,
+         |    row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+         |  FROM toks),
+         |rec AS (
+         |  SELECT lang, shard, rn, doc_id, n_tok, 0 AS bin, n_tok AS fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.shard, o.rn, o.doc_id, o.n_tok,
+         |    CASE WHEN r.fill + o.n_tok > $PackBudget THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.fill + o.n_tok > $PackBudget THEN o.n_tok ELSE r.fill + o.n_tok END
+         |  FROM rec r JOIN ord o
+         |    ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
+         |SELECT lang, shard, doc_id, n_tok, bin
+         |FROM rec ORDER BY lang, shard, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), pmod(col("doc_id"), lit(16)).as("shard"),
+          col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      packGreedy(docs, PackBudget, Seq("lang", "shard"))
+        .orderBy("lang", "shard", "doc_id")
     }
   )
 }

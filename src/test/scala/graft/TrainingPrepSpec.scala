@@ -74,4 +74,43 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
     assert(out(1L) == 1.0 && out(2L) == 0.0)
   }
+
+  test("packGreedy: boundary fit, overflow split, oversized doc isolated") {
+    // budget 10; docs in id order with sizes 4,6,1,25,2,9,10:
+    //   bin 0: 4+6 = 10 (exact fit — the boundary is inclusive)
+    //   bin 1: 1 (adding 25 would overflow)
+    //   bin 2: 25 alone (oversized doc owns its bin)
+    //   bin 3: 2 (2+9 > 10), bin 4: 9 (9+10 > 10), bin 5: 10
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 1L), (4L, 25L), (5L, 2L),
+      (6L, 9L), (7L, 10L))
+      .toDF("doc_id", "n_tok").withColumn("g", lit("a"))
+    val got = graft.operators.TrainingPrep.packGreedy(docs, 10, Seq("g"))
+      .orderBy("doc_id").select("doc_id", "bin")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3,
+      6L -> 4, 7L -> 5))
+  }
+
+  test("packGreedy invariants on the corpus: coverage, monotone bins, no overflow") {
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select(col("lang"), pmod(col("doc_id"), lit(16)).as("shard"),
+        col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val packed = graft.operators.TrainingPrep
+      .packGreedy(docs, 512, Seq("lang", "shard")).cache()
+    try {
+      assert(packed.count() == docs.count(), "every doc packed exactly once")
+      // no bin over budget unless it is a single oversized doc
+      val bad = packed.groupBy("lang", "shard", "bin")
+        .agg(sum(col("n_tok")).as("tot"), count(lit(1)).as("k"))
+        .filter(col("tot") > 512 && col("k") > 1).count()
+      assert(bad == 0L, "multi-doc bin over budget")
+      // bins are 0-based and contiguous per group
+      val gaps = packed.groupBy("lang", "shard")
+        .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+          countDistinct(col("bin")).as("k"))
+        .filter(col("lo") =!= 0 || col("k") =!= col("hi") + 1).count()
+      assert(gaps == 0L, "bins must be contiguous from 0")
+    } finally packed.unpersist()
+  }
 }
