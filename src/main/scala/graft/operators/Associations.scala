@@ -4,7 +4,7 @@ import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Association / co-occurrence mining (X41): the market-basket pair
+/** Association / co-occurrence mining (X47): the market-basket pair
   * count — for every pair of parts ordered together, how often they
   * co-occur across orders — the first stage of frequent-itemset mining
   * and of co-occurrence embeddings (PMI matrices are built from exactly
@@ -26,7 +26,7 @@ object Associations {
 
   def all: Seq[Q] = Seq(
 
-    // X41: co-occurring part pairs ranked by support. Pair identity is
+    // X47: co-occurring part pairs ranked by support. Pair identity is
     // canonicalized (part_a < part_b) so each unordered pair counts
     // once per ordered-line pair; duplicate part lines in one order
     // contribute multiplicatively in BOTH engines (raw co-occurrence,

@@ -32,6 +32,10 @@ object Ranking {
   /** Query terms — mid-frequency corpus vocabulary so scores spread. */
   private val Terms = Seq("hash", "join", "window")
 
+  /** rrf_fusion: per-system truncated-list length / fused output size. */
+  private val FuseK = 200
+  private val TopN = 50
+
   def all: Seq[Q] = Seq(
 
     Q("bm25_rank",
@@ -72,6 +76,89 @@ object Ranking {
         .agg(count(lit(1)).as("n_terms"),
           round(sum(col("c")).cast("double"), 6).as("score"))
         .orderBy("doc_id")
+    },
+
+    // X46: reciprocal-rank fusion — merge a lexical and a semantic
+    // retrieval ranking of the same corpus into one list, the standard
+    // hybrid-search combiner (score = Σ 1/(60 + rank), k=60 from the
+    // Cormack/Clarke/Buettcher RRF paper). Lexical rank = query-term
+    // hit count (integer — no float discipline needed); semantic rank =
+    // cosine vs the query vector (vec 0), rounded to 6 dp BEFORE
+    // ranking so rank ties break identically across engines; both
+    // tiebreak on id.
+    //
+    // 100 TB posture: RRF fuses TRUNCATED lists by definition — each
+    // system contributes its top-K via `TakeOrderedAndProject`
+    // (per-partition heaps, no global sort of the corpus), and the
+    // rank-assigning window runs on K = 200 rows, a constant. A doc
+    // absent from one list contributes 0 from that system (rank
+    // sentinel 0 in the output keeps the schema int-typed — nullable
+    // ints round-trip as floats through pandas and would break the
+    // exact compare).
+    Q("rrf_fusion",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'), t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS h FROM toks
+         |  WHERE term IN ('hash', 'join', 'window') GROUP BY doc_id),
+         |lexr AS (
+         |  SELECT d.doc_id,
+         |    CAST(row_number() OVER (ORDER BY coalesce(h.h, 0) DESC, d.doc_id) AS INT) AS r_lex
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |  WHERE d.doc_id <> 0
+         |  QUALIFY r_lex <= $FuseK),
+         |v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+         |  FROM embeddings),
+         |q AS (SELECT v AS qv, n2 AS qn2 FROM v WHERE vec_id = 0),
+         |semr AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (
+         |      ORDER BY round(list_inner_product(qv, v) / (sqrt(n2) * sqrt(qn2)), 6) DESC,
+         |               vec_id) AS INT) AS r_sem
+         |  FROM v CROSS JOIN q WHERE vec_id <> 0
+         |  QUALIFY r_sem <= $FuseK)
+         |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |  coalesce(l.r_lex, 0) AS r_lex, coalesce(s.r_sem, 0) AS r_sem,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), CAST(0.0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sem), CAST(0.0 AS DOUBLE)), 9) AS rrf
+         |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $TopN""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val hits = toks.filter(col("term").isInCollection(Terms))
+        .groupBy("doc_id").agg(count(lit(1)).as("h"))
+      // top-K by (hits, id) is TakeOrderedAndProject; the rank window
+      // then runs over K rows only (single tiny partition, bounded)
+      val lexr = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("h"))
+        .orderBy(col("h").desc, col("doc_id")).limit(FuseK)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("h").desc, col("doc_id"))).as("r_lex"))
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", Similarity.norm2(col("v")))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val semr = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(FuseK)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).as("r_sem"))
+      lexr.join(semr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).as("r_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(TopN)
     }
   )
 }
