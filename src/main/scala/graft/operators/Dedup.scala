@@ -114,7 +114,7 @@ object Dedup {
         .orderBy("id1")
     },
 
-    // Incremental-ingest dedup: screen a NEW batch of documents against
+    // X50 incremental-ingest dedup: screen a NEW batch of documents against
     // the fingerprints of the already-ingested corpus, keeping only
     // batch docs whose fingerprint is unseen — the daily-ingest shape
     // (batch ⋉̸ corpus) where the corpus index is consulted, never

@@ -104,7 +104,7 @@ object TimeSeries {
         .orderBy("o_custkey", "d")
     },
 
-    // X40c: rolling z-score anomaly flag — each order scored against
+    // X49: rolling z-score anomaly flag — each order scored against
     // its customer's trailing 6-order window (5 preceding + current).
     // Mean/variance come from EXACT decimal power sums over the frame
     // (the stat_aggregates discipline: decimal sums are

@@ -165,7 +165,7 @@ object TrainingPrep {
         .orderBy("doc_id")
     },
 
-    // Greedy sequence packing: assign whole documents to fixed-budget
+    // X48 greedy sequence packing: assign whole documents to fixed-budget
     // training bins (max 512 tokens per bin), first-come in doc_id
     // order, opening a new bin when the next doc would overflow —
     // the tokenizer-level packing step that turns a chunked corpus
