@@ -205,4 +205,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"),
       "registry fn must restore the v1 source list")
   }
+
+  test("cooccur_parts: basket-keyed equi-join, map-side combine, heap top-k") {
+    val p = plan("cooccur_parts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be an equi-join on the basket id")
+    assert(p.contains("partial_count"), "support counts must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be per-partition heaps, not a global sort")
+  }
+
+  test("rrf_fusion: truncated lists via heap top-k, no corpus-wide loop join") {
+    val p = plan("rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-system top-K must plan as TakeOrderedAndProject")
+    assert(!p.contains("CartesianProduct"),
+      "only the single broadcast query row may cross the candidates")
+  }
+
+  test("anomaly_rolling_z: one customer-keyed window, never a single partition") {
+    val p = plan("anomaly_rolling_z")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "window must partition by the scaling key")
+    assert(!p.contains("SinglePartition"), "no global window funnel")
+  }
 }
