@@ -137,10 +137,23 @@ object Clustering {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .filter(col("m") > 1).drop("m")
     val memb = shared.cache()
+    val spark = docs.sparkSession
+    val outerParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       var lab = memb.select(col("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("component"))
         .localCheckpoint()
+      // Size the LOOP's shuffles to the active subgraph, not the scan:
+      // ~22 small jobs run below, and per-job cost at this state size is
+      // task-scheduling overhead × partition count (measured: the same
+      // loop is ~2× slower at 32 shuffle partitions than at 4 on a
+      // few-thousand-row active set). One partition per ~50k active
+      // docs, floored at 4 — a billion-doc dup subgraph still gets
+      // 20k-way parallelism; the conf is restored before the final
+      // corpus-wide re-attach join, which scales with the scan again.
+      val loopParts = math.max(4L, math.min(outerParts.toLong,
+        lab.count() / 50000L)).toString
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
       var changed = 1L
       var round = 0
       while (changed > 0 && round < maxRounds) {
@@ -181,11 +194,15 @@ object Clustering {
       }
       require(changed == 0L, s"connectedComponents: no fixpoint after $maxRounds rounds")
       // re-attach the pruned singletons: any doc outside the active
-      // subgraph is its own component by construction
+      // subgraph is its own component by construction (planned lazily,
+      // AFTER the finally restores the scan-scale partition count)
       docs.select(col("doc_id"))
         .join(lab.withColumnRenamed("component", "c"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
-    } finally memb.unpersist(false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", outerParts)
+      memb.unpersist(false)
+    }
   }
 
   /** Shared oracle scaffolding: DuckDB recursive-CTE reachability over the

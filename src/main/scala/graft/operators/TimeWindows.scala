@@ -65,6 +65,21 @@ object TimeWindows {
         .orderBy("window_start")
     },
 
+    // G22++: the stream-static enrichment's batch form (the SAME
+    // expressions StreamingOps.enrichEvents runs per micro-batch with
+    // the dimension side broadcast; stream ≡ batch in StreamingSpec).
+    Q("stream_static_enrich",
+      """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+        |  n.n_name AS nation
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      StreamingOps.enrichEvents(Tables.events(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))
+        .orderBy("event_id")
+    },
+
     // G22+: the stream-stream interval join's batch form (the SAME
     // expressions StreamingOps.purchaseClickJoin runs incrementally with
     // two-sided watermark state eviction).

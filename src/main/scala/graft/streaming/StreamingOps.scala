@@ -310,4 +310,24 @@ object StreamingOps {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** G22++: STREAM-STATIC enrichment — every event decorated with its
+    * user's customer→nation dimension attributes, the lookup-join shape
+    * of every production clickstream pipeline (the static side is a
+    * dimension table; the planner broadcasts it and re-resolves the
+    * relation per micro-batch, so a dimension refresh is picked up
+    * without restarting the query). Stateless (no watermark needed —
+    * nothing buffers), append-safe, and the IDENTICAL expressions run
+    * on a batch DataFrame for the oracled registry form.
+    *
+    * LEFT join: an event from an unknown user must survive enrichment
+    * (dropping telemetry on a dimension miss is a silent-loss bug). */
+  def enrichEvents(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("n_name").as("nation"))
 }

@@ -50,6 +50,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(StreamingOps.tumblingCounts(batchEvents)))
   }
 
+  test("G22++ stream-static enrichment: streaming (append) == batch, dims broadcast") {
+    val cust = sources.Tables.customer(spark, SparkTestSession.sf0001)
+    val nat = sources.Tables.nation(spark, SparkTestSession.sf0001)
+    val got = runToMemory(
+      StreamingOps.enrichEvents(
+        StreamingOps.readEventsStream(spark, SparkTestSession.sf0001), cust, nat),
+      "append")
+    assert(sortedRows(got) ==
+      sortedRows(StreamingOps.enrichEvents(batchEvents, cust, nat)))
+    // stateless lookup: no event lost on its way through the join
+    assert(got.count() == batchEvents.count())
+  }
+
   test("G22 session windows: streaming (complete mode) == batch") {
     val got = runToMemory(
       StreamingOps.sessionCounts(

@@ -1,9 +1,22 @@
 package graft
 
-/** Dev tool: wall-time selected queries (noop sink, 1 warm + 1 timed). */
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: wall-time selected queries (noop sink, 1 warm + 1 timed)
+  * under the SAME session config as graft.Bench (SPARK_GRAFT_CPUS
+  * threads + shuffle partitions), so single-query timings are
+  * comparable to the driver's bench figures. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkTestSession.spark
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { n =>
       val fn = SparkEntry.queries(n)
