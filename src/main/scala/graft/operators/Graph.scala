@@ -110,6 +110,72 @@ object Graph {
           (col("node") / 2).cast("long").as("node_key"),
           round(col("r") * col("nn"), 6).as("pr"))
         .orderBy("kind", "node_key")
+    },
+
+    // X51: per-node triangle counts over the part co-order graph (edges
+    // = part pairs co-ordered with support >= 2, the X47 pair table) —
+    // the clustering-coefficient numerator, the standard
+    // community-density signal.
+    //
+    // 100 TB posture: the Spark side counts each triangle once via
+    // DEGREE-ORIENTED wedges (orient every edge toward the higher
+    // (degree, id) endpoint; wedge-join the out-edges at their center;
+    // close against an oriented edge). Orientation bounds each node's
+    // out-degree by O(sqrt(|E|)) on any graph, so the wedge join never
+    // quadratically explodes at a hub the way the naive a<b<c
+    // enumeration does when low ids happen to be hubs. The oracle uses
+    // the naive form — the triangle SET is orientation-invariant, so
+    // results match while the plans differ (the point of an oracle).
+    // The edge table feeds three join branches and is checkpointed
+    // once, the pagerank_trade convention.
+    Q("triangle_count",
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |nodes AS (SELECT unnest([a, b, c]) AS part FROM tri)
+        |SELECT part, count(*) AS n_triangles
+        |FROM nodes GROUP BY part
+        |ORDER BY n_triangles DESC, part""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("pa", "pb")
+        .localCheckpoint()
+      val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // orient src -> dst where (deg, id) of dst is larger; keep the
+      // dst endpoint's (deg, id) so wedge endpoints order the same way
+      val o = e
+        .join(deg.select(col("v").as("pa"), col("deg").as("dega")), "pa")
+        .join(deg.select(col("v").as("pb"), col("deg").as("degb")), "pb")
+        .select(
+          when(struct(col("dega"), col("pa")) < struct(col("degb"), col("pb")),
+            struct(col("pa").as("src"), col("pb").as("dst"),
+              col("degb").as("ddeg")))
+            .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+              col("dega").as("ddeg"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+        .localCheckpoint()
+      val tri = o.as("x")
+        .join(o.as("y"),
+          col("x.src") === col("y.src") &&
+            struct(col("x.ddeg"), col("x.dst")) < struct(col("y.ddeg"), col("y.dst")))
+        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+        .join(o.as("z"), col("v") === col("z.src") && col("w") === col("z.dst"))
+        .select(col("u"), col("v"), col("w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("part"))
     }
   )
 }

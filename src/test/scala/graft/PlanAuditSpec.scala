@@ -223,6 +223,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "only the single broadcast query row may cross the candidates")
   }
 
+  test("triangle_count: wedge closure is equi-joined, never a loop join") {
+    val p = plan("triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge + closure must plan as keyed joins")
+  }
+
   test("anomaly_rolling_z: one customer-keyed window, never a single partition") {
     val p = plan("anomaly_rolling_z")
     assert(p.contains("hashpartitioning(o_custkey"),
