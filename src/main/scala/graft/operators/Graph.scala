@@ -58,6 +58,51 @@ object Graph {
         (lit(Teleport) / col("nn") +
           lit(Damping) * col("s").cast("double")).as("r"))
 
+  /** Part co-order edge set (the X47 pair table at support ≥ 2),
+    * canonicalized pa < pb, checkpointed once — it feeds multiple join
+    * branches in the triangle queries. */
+  private def coorderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("pa", "pb")
+      .localCheckpoint()
+  }
+
+  /** Degree-orient edges src → dst toward the higher (degree, id)
+    * endpoint; `ddeg` (dst degree) rides along so wedge endpoints order
+    * by the same (deg, id) key. Orientation bounds out-degree
+    * O(√|E|) on any graph — the hub-safe wedge bound. */
+  private def orientEdges(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("v").as("pa"), col("deg").as("dega")), "pa")
+      .join(deg.select(col("v").as("pb"), col("deg").as("degb")), "pb")
+      .select(
+        when(struct(col("dega"), col("pa")) < struct(col("degb"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            col("degb").as("ddeg")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            col("dega").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      .localCheckpoint()
+  }
+
+  /** Each triangle exactly once as (u, v, w): wedge at center u over
+    * (deg, id)-ordered out-neighbors, closed by an oriented v → w edge. */
+  private def triangles(o: DataFrame): DataFrame =
+    o.as("x")
+      .join(o.as("y"),
+        col("x.src") === col("y.src") &&
+          struct(col("x.ddeg"), col("x.dst")) < struct(col("y.ddeg"), col("y.dst")))
+      .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      .join(o.as("z"), col("v") === col("z.src") && col("w") === col("z.dst"))
+      .select(col("u"), col("v"), col("w"))
+
   def all: Seq[Q] = Seq(
 
     Q("pagerank_trade",
@@ -128,6 +173,49 @@ object Graph {
     // results match while the plans differ (the point of an oracle).
     // The edge table feeds three join branches and is checkpointed
     // once, the pagerank_trade convention.
+    // X51b: local clustering coefficient — 2·T(v) / (deg(v)·(deg(v)−1))
+    // for nodes with deg ≥ 2; how close each part's co-order
+    // neighborhood is to a clique. Integer deg/triangle products are
+    // exact; ONE double division per node, identical both engines.
+    // Same edge/wedge pipeline as triangle_count (checkpointed once).
+    Q("clustering_coefficient",
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT part, count(*) AS deg FROM (
+        |    SELECT unnest([pa, pb]) AS part FROM e) GROUP BY part),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+        |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tc AS (
+        |  SELECT part, count(*) AS n_triangles FROM (
+        |    SELECT unnest([a, b, c]) AS part FROM tri) GROUP BY part)
+        |SELECT d.part, d.deg,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  round(CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+        |    / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9) AS coeff
+        |FROM deg d LEFT JOIN tc ON tc.part = d.part
+        |WHERE d.deg >= 2
+        |ORDER BY coeff DESC, d.part""".stripMargin) { (s, d) =>
+      val e = coorderEdges(s, d)
+      val deg = e.select(explode(array(col("pa"), col("pb"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+      val tc = triangles(orientEdges(e))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      deg.join(tc, Seq("part"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("part"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          round((lit(2) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"), 9).as("coeff"))
+        .orderBy(col("coeff").desc, col("part"))
+    },
+
     Q("triangle_count",
       """WITH e AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -142,38 +230,8 @@ object Graph {
         |SELECT part, count(*) AS n_triangles
         |FROM nodes GROUP BY part
         |ORDER BY n_triangles DESC, part""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("pa", "pb")
-        .localCheckpoint()
-      val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      // orient src -> dst where (deg, id) of dst is larger; keep the
-      // dst endpoint's (deg, id) so wedge endpoints order the same way
-      val o = e
-        .join(deg.select(col("v").as("pa"), col("deg").as("dega")), "pa")
-        .join(deg.select(col("v").as("pb"), col("deg").as("degb")), "pb")
-        .select(
-          when(struct(col("dega"), col("pa")) < struct(col("degb"), col("pb")),
-            struct(col("pa").as("src"), col("pb").as("dst"),
-              col("degb").as("ddeg")))
-            .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
-              col("dega").as("ddeg"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
-        .localCheckpoint()
-      val tri = o.as("x")
-        .join(o.as("y"),
-          col("x.src") === col("y.src") &&
-            struct(col("x.ddeg"), col("x.dst")) < struct(col("y.ddeg"), col("y.dst")))
-        .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
-        .join(o.as("z"), col("v") === col("z.src") && col("w") === col("z.dst"))
-        .select(col("u"), col("v"), col("w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      triangles(orientEdges(coorderEdges(s, d)))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))
     }
