@@ -194,6 +194,73 @@ object NearDup {
     Q.noOracle("simhash_near_dup_pairs") { (s, d) =>
       simhashPairs(withPlantedDups(Tables.documents(s, d)), 16)
         .orderBy("id1", "id2")
+    },
+
+    // X53 fuzzy best match (entity resolution): for every doc in a NEW
+    // batch (odd ids), its single best already-ingested corpus match
+    // (even ids) — candidates from shared fingerprint-band buckets (the
+    // X21 blocking graph; SQL-expressible, unlike the MinHash UDAF
+    // blocks), scored by exact trigram Jaccard, winner by (jaccard
+    // DESC, corpus id ASC).
+    //
+    // 100 TB posture: candidates are a bucket equi-join (never
+    // all-pairs), exact scoring touches candidates only, and the
+    // per-doc argmax is a MERGEABLE max-of-struct aggregation
+    // (map-side combine; no per-doc window sort). Jaccard is a single
+    // IEEE division of integer counts — cross-engine exact, so the
+    // argmax ordering cannot disagree between engines.
+    Q("best_match_fuzzy",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS g
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |fp AS (
+        |  SELECT doc_id, ascii(substring(md5(g), 1, 1)) % 4 AS band,
+        |    min(md5(g)) AS b
+        |  FROM sh GROUP BY doc_id, band),
+        |memb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || b AS bucket FROM fp),
+        |sets AS (SELECT doc_id, list(DISTINCT g) AS s FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+        |  FROM memb b JOIN memb c USING (bucket)
+        |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        |scored AS (
+        |  SELECT bdoc, cdoc,
+        |    CAST(len(list_intersect(sb.s, sc.s)) AS DOUBLE)
+        |      / CAST(len(sb.s) + len(sc.s) - len(list_intersect(sb.s, sc.s)) AS DOUBLE) AS jac
+        |  FROM cand JOIN sets sb ON sb.doc_id = bdoc
+        |            JOIN sets sc ON sc.doc_id = cdoc)
+        |SELECT bdoc AS doc_id, cdoc AS match_id, round(jac, 9) AS jaccard
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY bdoc ORDER BY jac DESC, cdoc) = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val memb = Clustering.fingerprintBuckets(docs)
+      val sets = docs
+        .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+        .filter(size(col("s")) > 0)
+      val cand = memb.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("bdoc"), col("bucket"))
+        .join(memb.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("cdoc"), col("bucket")), "bucket")
+        .select("bdoc", "cdoc").distinct()
+      val inter = size(array_intersect(col("sb"), col("sc"))).cast("double")
+      val union = (size(col("sb")) + size(col("sc"))).cast("double") - inter
+      cand
+        .join(sets.select(col("doc_id").as("bdoc"), col("s").as("sb")), "bdoc")
+        .join(sets.select(col("doc_id").as("cdoc"), col("s").as("sc")), "cdoc")
+        .select(col("bdoc"), col("cdoc"), (inter / union).as("jac"))
+        // argmax: max of (jac, -cdoc) struct = best jaccard, then
+        // LOWEST corpus id — an aggregation, not a window
+        .groupBy("bdoc")
+        .agg(max(struct(col("jac"), (-col("cdoc")).as("nc"))).as("m"))
+        .select(col("bdoc").as("doc_id"),
+          (-col("m.nc")).cast("long").as("match_id"),
+          round(col("m.jac"), 9).as("jaccard"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -213,6 +213,45 @@ object TrainingPrep {
           col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
       packGreedy(docs, PackBudget, Seq("lang", "shard"))
         .orderBy("lang", "shard", "doc_id")
+    },
+
+    // X54: per-group feature scaling — min-max to [0,1] and z-score of
+    // each lineitem price within its return-flag stratum, the
+    // normalize-before-training step of any tabular feature pipeline.
+    // Group stats are ONE aggregation (min/max exact; mean/std from
+    // exact decimal power sums, the stat_aggregates discipline)
+    // broadcast back into the scan — two passes total, no window over
+    // the fact table, no per-row state. Final scaling is identical
+    // double arithmetic on both engines.
+    Q("feature_scale",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS mx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round((CAST(l.l_extendedprice AS DOUBLE) - g.mn) / (g.mx - g.mn), 9) AS x_minmax,
+        |  round((CAST(l.l_extendedprice AS DOUBLE) - g.s1 / g.n)
+        |    / sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1)), 9) AS x_z
+        |FROM lineitem l JOIN g USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val x = col("l_extendedprice").cast("double")
+      val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(x).as("mn"), max(x).as("mx"),
+          sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
+      Tables.lineitem(s, d)
+        .join(broadcast(g), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((x - col("mn")) / (col("mx") - col("mn")), 9).as("x_minmax"),
+          round((x - col("s1") / col("n"))
+            / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 9).as("x_z"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }
