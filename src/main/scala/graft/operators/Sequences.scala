@@ -51,6 +51,69 @@ object Sequences {
           round(col("n") / sum(col("n")).over(Window.partitionBy("prev_type"))
             .cast("double"), 6).as("p"))
         .orderBy("prev_type", "next_type")
+    },
+
+    // X55: top opening paths — each user's first 3 event types in
+    // (ts, event_id) order joined into a path string, counted across
+    // users, top 20. The onboarding-flow fingerprint behind "what do
+    // new users actually do first".
+    //
+    // Shape: ONE per-user aggregation (sorted-struct collect + slice;
+    // user_id is high-cardinality so the heavy agg spreads, and the
+    // collect state is bounded by per-user history — the same per-key
+    // bound every user-partitioned window in Windows.scala carries)
+    // feeding a tiny path-count agg + heap top-k.
+    Q("user_paths_topk",
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], ' > ') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val sorted = array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type").as("t"))))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(slice(sorted, 1, 3), e => e.getField("t")), " > ").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    },
+
+    // X56: rolling engagement — per day, exact DAU and trailing-7-day
+    // active users (WAU). Exact rolling DISTINCT does not decompose
+    // into window sums; the scale shape is the CONTRIBUTION EXPLODE:
+    // each distinct (day, user) pair contributes to its 7 trailing
+    // report days (a constant 7× multiply of the deduped daily table,
+    // NOT of raw events), then one hash agg per report day — no
+    // window, no per-day re-scan. DAU rides the same agg via a
+    // conditional distinct.
+    Q("rolling_active_users",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |contrib AS (
+        |  SELECT du.day AS od,
+        |    unnest(generate_series(du.day, du.day + INTERVAL 6 DAY,
+        |                           INTERVAL 1 DAY))::DATE AS d,
+        |    user_id
+        |  FROM du)
+        |SELECT c.d AS day,
+        |  count(DISTINCT CASE WHEN c.od = c.d THEN c.user_id END) AS dau,
+        |  count(DISTINCT c.user_id) AS wau7
+        |FROM contrib c JOIN days ON days.day = c.d
+        |GROUP BY c.d ORDER BY day""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.select(col("day").as("od"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("d"),
+          col("user_id"))
+        .join(days, "d") // partial trailing windows past the corpus end drop
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct(when(col("od") === col("d"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau7"))
+        .orderBy("day")
     }
   )
 }
