@@ -63,6 +63,50 @@ object Funnel {
         |  LEFT JOIN p USING (user_id)
         |ORDER BY v.user_id""".stripMargin) { (s, d) =>
       funnel(Tables.events(s, d))
+    },
+
+    // X57: last-touch attribution — every purchase credited to the SAME
+    // user's most recent click at-or-before it (unbounded lookback;
+    // purchases with no prior click keep NULL attribution — unattributed
+    // conversions are a metric, not a dropped row). Winner by (ts DESC,
+    // event_id DESC), deterministic under same-timestamp clicks.
+    //
+    // Shape: per-user time-bounded theta join (both sides pre-filtered
+    // to their event type BEFORE the join — the shuffle carries
+    // purchases + clicks, not the event firehose) + a mergeable
+    // max-of-struct argmax per purchase, no window over the join
+    // output. Per-task work is bounded by per-user purchase×click
+    // counts; at a scale where user histories are huge, the
+    // time-bucketed as-of form (X16, AsOfJoin) is the drop-in.
+    Q("attribution_last_touch",
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  c.click_id, c.click_ts
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.click_ts <= p.purchase_ts
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY p.purchase_id
+        |  ORDER BY c.click_ts DESC, c.click_id DESC) = 1
+        |ORDER BY p.purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("click_ts"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts"), "left")
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(max(struct(col("click_ts"), col("click_id"))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"))
+        .orderBy("purchase_id")
     }
   )
 }
