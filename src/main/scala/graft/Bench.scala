@@ -26,6 +26,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned TZ: date-bucketing queries must do the same work (same
+      // day boundaries, row counts) regardless of the machine's zone —
+      // and it matches Verify/TimeQ, keeping timings comparable
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")
       .getOrCreate()

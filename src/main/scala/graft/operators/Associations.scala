@@ -21,8 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Associations {
 
-  private val MinSupport = 2
+  private[operators] val MinSupport = 2
   private val TopK = 100
+
+  /** Canonicalized (part_a < part_b) co-order pair support counts —
+    * the ONE definition of the co-occurrence pair table, shared by
+    * cooccur_parts and the Graph triangle suite (which consumes pairs
+    * at support ≥ [[MinSupport]] as its edge set). */
+  private[operators] def pairSupport(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -40,13 +55,7 @@ object Associations {
          |HAVING count(*) >= $MinSupport
          |ORDER BY support DESC, part_a, part_b
          |LIMIT $TopK""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("support"))
+      pairSupport(s, d)
         .filter(col("support") >= MinSupport)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(TopK)

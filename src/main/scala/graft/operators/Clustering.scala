@@ -129,7 +129,16 @@ object Clustering {
     *
     * Per-round state is checkpoint-truncated; at cluster scale the
     * equivalent is a persisted table per round. */
-  def connectedComponents(docs: DataFrame, memb0: DataFrame, maxRounds: Int = 30): DataFrame = {
+  /** Guards the scoped shuffle-partitions override below: two
+    * concurrent loops racing set/restore could strand the session at
+    * the loop's tiny partition count. Other queries planned on the same
+    * session DURING a loop still see the scoped value — acceptable
+    * under the driver contract (queries run sequentially); a shared
+    * multi-tenant session would want the loop state on its own
+    * session/conf instead. */
+  private val loopConfLock = new Object
+
+  def connectedComponents(docs: DataFrame, memb0: DataFrame, maxRounds: Int = 30): DataFrame = loopConfLock.synchronized {
     // shared-bucket filter: one hash shuffle on bucket (window count);
     // tasks bounded by bucket membership, which LSH banding already caps
     val shared = memb0

@@ -58,28 +58,27 @@ object Graph {
         (lit(Teleport) / col("nn") +
           lit(Damping) * col("s").cast("double")).as("r"))
 
-  /** Part co-order edge set (the X47 pair table at support ≥ 2),
+  /** Part co-order edge set: the X47 pair table (Associations — one
+    * shared definition of the pair generator) at support ≥ MinSupport,
     * canonicalized pa < pb, checkpointed once — it feeds multiple join
     * branches in the triangle queries. */
-  private def coorderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("pa", "pb")
+  private def coorderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Associations.pairSupport(s, d)
+      .filter(col("support") >= Associations.MinSupport)
+      .select(col("part_a").as("pa"), col("part_b").as("pb"))
       .localCheckpoint()
-  }
+
+  /** Node degrees over the undirected edge set. */
+  private def nodeDegrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
 
   /** Degree-orient edges src → dst toward the higher (degree, id)
     * endpoint; `ddeg` (dst degree) rides along so wedge endpoints order
     * by the same (deg, id) key. Orientation bounds out-degree
-    * O(√|E|) on any graph — the hub-safe wedge bound. */
-  private def orientEdges(e: DataFrame): DataFrame = {
-    val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    * O(√|E|) on any graph — the hub-safe wedge bound. Takes the degree
+    * table so callers that also need degrees compute it once. */
+  private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     e.join(deg.select(col("v").as("pa"), col("deg").as("dega")), "pa")
       .join(deg.select(col("v").as("pb"), col("deg").as("degb")), "pb")
       .select(
@@ -202,12 +201,11 @@ object Graph {
         |WHERE d.deg >= 2
         |ORDER BY coeff DESC, d.part""".stripMargin) { (s, d) =>
       val e = coorderEdges(s, d)
-      val deg = e.select(explode(array(col("pa"), col("pb"))).as("part"))
-        .groupBy("part").agg(count(lit(1)).as("deg"))
-      val tc = triangles(orientEdges(e))
+      val deg = nodeDegrees(e)
+      val tc = triangles(orientEdges(e, deg))
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
-      deg.join(tc, Seq("part"), "left")
+      deg.select(col("v").as("part"), col("deg")).join(tc, Seq("part"), "left")
         .filter(col("deg") >= 2)
         .select(col("part"), col("deg"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -230,7 +228,8 @@ object Graph {
         |SELECT part, count(*) AS n_triangles
         |FROM nodes GROUP BY part
         |ORDER BY n_triangles DESC, part""".stripMargin) { (s, d) =>
-      triangles(orientEdges(coorderEdges(s, d)))
+      val e = coorderEdges(s, d)
+      triangles(orientEdges(e, nodeDegrees(e)))
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))

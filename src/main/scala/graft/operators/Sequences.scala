@@ -91,25 +91,34 @@ object Sequences {
     // conditional distinct.
     Q("rolling_active_users",
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-        |days AS (SELECT DISTINCT day FROM du),
+        |-- report spine = EVERY calendar day in the corpus span: a dead
+        |-- day must appear as a dau=0 row, not silently vanish from the
+        |-- daily series
+        |days AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY))::DATE AS d
+        |  FROM du),
         |contrib AS (
         |  SELECT du.day AS od,
         |    unnest(generate_series(du.day, du.day + INTERVAL 6 DAY,
         |                           INTERVAL 1 DAY))::DATE AS d,
         |    user_id
         |  FROM du)
-        |SELECT c.d AS day,
-        |  count(DISTINCT CASE WHEN c.od = c.d THEN c.user_id END) AS dau,
+        |SELECT days.d AS day,
+        |  count(DISTINCT CASE WHEN c.od = days.d THEN c.user_id END) AS dau,
         |  count(DISTINCT c.user_id) AS wau7
-        |FROM contrib c JOIN days ON days.day = c.d
-        |GROUP BY c.d ORDER BY day""".stripMargin) { (s, d) =>
+        |FROM days LEFT JOIN contrib c ON c.d = days.d
+        |GROUP BY days.d ORDER BY day""".stripMargin) { (s, d) =>
       val du = Tables.events(s, d)
         .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
-      val days = du.select(col("day").as("d")).distinct()
+      // full-span day spine (bounded by the corpus' calendar span, one
+      // row per day) — also trims partial trailing windows past the end
+      val days = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
       du.select(col("day").as("od"),
           explode(sequence(col("day"), date_add(col("day"), 6))).as("d"),
           col("user_id"))
-        .join(days, "d") // partial trailing windows past the corpus end drop
+        .join(days, Seq("d"), "right")
         .groupBy(col("d").as("day"))
         .agg(countDistinct(when(col("od") === col("d"), col("user_id"))).as("dau"),
           countDistinct(col("user_id")).as("wau7"))

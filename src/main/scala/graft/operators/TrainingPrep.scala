@@ -201,9 +201,12 @@ object TrainingPrep {
          |  SELECT lang, shard, rn, doc_id, n_tok, 0 AS bin, n_tok AS fill
          |  FROM ord WHERE rn = 1
          |  UNION ALL
+         |  -- fill > 0 guard matches the Spark fold exactly: an EMPTY bin
+         |  -- never overflows at entry (a zero-token doc leading the group,
+         |  -- or the doc right after an oversized one, must not burn a bin)
          |  SELECT o.lang, o.shard, o.rn, o.doc_id, o.n_tok,
-         |    CASE WHEN r.fill + o.n_tok > $PackBudget THEN r.bin + 1 ELSE r.bin END,
-         |    CASE WHEN r.fill + o.n_tok > $PackBudget THEN o.n_tok ELSE r.fill + o.n_tok END
+         |    CASE WHEN r.fill > 0 AND r.fill + o.n_tok > $PackBudget THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.fill > 0 AND r.fill + o.n_tok > $PackBudget THEN o.n_tok ELSE r.fill + o.n_tok END
          |  FROM rec r JOIN ord o
          |    ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
          |SELECT lang, shard, doc_id, n_tok, bin

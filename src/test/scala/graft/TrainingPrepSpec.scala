@@ -89,6 +89,15 @@ class TrainingPrepSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toSeq
     assert(got == Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3,
       6L -> 4, 7L -> 5))
+    // zero-token doc leading the group: the empty bin 0 must absorb the
+    // following oversized doc, not burn a bin number (the fill > 0
+    // guard — mirrored by the oracle's recursive step)
+    val zlead = Seq((1L, 0L), (2L, 25L), (3L, 3L))
+      .toDF("doc_id", "n_tok").withColumn("g", lit("a"))
+    val gotZ = graft.operators.TrainingPrep.packGreedy(zlead, 10, Seq("g"))
+      .orderBy("doc_id").select("doc_id", "bin")
+      .as[(Long, Int)].collect().toSeq
+    assert(gotZ == Seq(1L -> 0, 2L -> 0, 3L -> 1))
   }
 
   test("packGreedy invariants on the corpus: coverage, monotone bins, no overflow") {
