@@ -140,6 +140,39 @@ object Physical {
         .sortWithinPartitions("word")
         .select(spark_partition_id().as("pid"), col("word"),
           FirstCharPartitioner(col("word"), 7).as("expected_pid"))
+    },
+
+    // X58: dense global id assignment — ids 1..N in doc_id order WITHOUT
+    // a single-partition global window (the `row_number() OVER (ORDER
+    // BY ...)` a naive port would write funnels the corpus through one
+    // task). Two-phase, the distributed zipWithIndex:
+    //   1. range-partition by key; rank WITHIN each partition (the
+    //      window partitions by spark_partition_id, so every task ranks
+    //      only its own slice);
+    //   2. cumulative per-partition row counts — a #partitions-row
+    //      table, windowed on ONE tiny partition (bounded by the
+    //      partition count, never the data) — broadcast back as
+    //      offsets; id = offset + local rank.
+    // Ids depend only on the global key order, NOT on where the sampled
+    // range boundaries land, so the result is deterministic and matches
+    // the oracle's global row_number exactly.
+    Q("assign_dense_ids",
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS id
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranged = Tables.documents(s, d).select(col("doc_id"))
+        .repartitionByRange(8, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val local = ranged.withColumn("rn",
+        row_number().over(Window.partitionBy("pid").orderBy("doc_id")))
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("offset",
+          coalesce(sum(col("n")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      local.join(broadcast(offsets), "pid")
+        .select(col("doc_id"), (col("offset") + col("rn")).as("id"))
+        .orderBy("doc_id")
     }
   )
 }
