@@ -229,6 +229,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "wedge + closure must plan as keyed joins")
   }
 
+  test("assign_dense_ids: data ranked per range-partition, offsets broadcast") {
+    val p = plan("assign_dense_ids")
+    assert(p.contains("hashpartitioning(pid"),
+      "the data-sized rank window must partition by spark_partition_id")
+    assert(p.contains("rangepartitioning(doc_id"),
+      "phase 1 must be a range repartition on the key")
+    assert(p.contains("BroadcastHashJoin"),
+      "offsets must broadcast back, not shuffle the data again")
+  }
+
   test("anomaly_rolling_z: one customer-keyed window, never a single partition") {
     val p = plan("anomaly_rolling_z")
     assert(p.contains("hashpartitioning(o_custkey"),
