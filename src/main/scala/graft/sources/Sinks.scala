@@ -43,6 +43,15 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Schema-evolution read: union the footer schemas of every file in
+    * the directory — rows written before a column existed read it back
+    * as NULL. This is the ingest-directory shape (appending producers
+    * add columns over time); footer merging opens every file's footer,
+    * so at warehouse scale the catalog carries the evolved schema and
+    * `mergeSchema` stays off the hot path. */
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files of roughly even size.
     *

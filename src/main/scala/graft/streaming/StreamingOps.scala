@@ -311,6 +311,57 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** X36+/G24: STREAMING CDC APPLY — each micro-batch of change rows
+    * (k, v, ts) is MERGED (upsert, last-writer-wins by ts then v) into
+    * a parquet snapshot via `foreachBatch`, the lakehouse ingestion
+    * shape when the sink has no native MERGE. Batch-local dedup first
+    * (max-struct per key — an aggregation, no window), then a full-outer
+    * apply against the current snapshot, written to a temp dir and
+    * swapped in (never overwrite-while-reading the same path).
+    *
+    * Restart safety: the checkpoint replays at-least-once, and the
+    * apply is IDEMPOTENT — re-merging an already-applied batch changes
+    * nothing (upsert of identical rows), so replays converge. At
+    * cluster scale the snapshot is a table format with real MERGE/ACID;
+    * the per-batch plan (dedup agg + keyed full-outer join) is
+    * identical there. */
+  def cdcApplyStream(changes: DataFrame, snapshotDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, snapshotDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One CDC merge: see [[cdcApplyStream]]. Public so the batch path
+    * (and tests) can apply the identical logic. */
+  def applyCdcBatch(batch: DataFrame, snapshotDir: String): Unit = {
+    val spark = batch.sparkSession
+    // last change per key within the batch: max of (ts, v) — the same
+    // deterministic argmax convention as attribution/first-per-key
+    val dedup = batch
+      .groupBy(col("k"))
+      .agg(max(struct(col("ts"), col("v"))).as("m"))
+      .select(col("k").as("ck"), col("m.v").as("cv"), col("m.ts").as("cts"))
+    if (dedup.isEmpty) return // empty trigger: nothing to merge
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(conf)
+    val merged =
+      if (!fs.exists(path)) dedup.select(col("ck").as("k"), col("cv").as("v"), col("cts").as("ts"))
+      else spark.read.parquet(snapshotDir)
+        .join(dedup, col("k") === col("ck"), "full_outer")
+        .select(coalesce(col("k"), col("ck")).as("k"),
+          coalesce(col("cv"), col("v")).as("v"),
+          coalesce(col("cts"), col("ts")).as("ts"))
+    val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
   /** G22++: STREAM-STATIC enrichment — every event decorated with its
     * user's customer→nation dimension attributes, the lookup-join shape
     * of every production clickstream pipeline (the static side is a

@@ -103,4 +103,23 @@ class SinkSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir + "._compact_tmp")))
     assert(!Files.exists(Paths.get(dir + "._compact_old")))
   }
+
+  test("schema evolution: appended files with a new column merge; old rows read NULL") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("evolve")
+    // producer v1: (k, a)
+    Seq((1L, "x"), (2L, "y")).toDF("k", "a").write.parquet(dir)
+    // producer v2 appends with an extra column (k, a, b)
+    Seq((3L, "z", 30L)).toDF("k", "a", "b").write.mode("append").parquet(dir)
+    val got = Sinks.readEvolved(spark, dir)
+    assert(got.schema.fieldNames.sorted.toSeq == Seq("a", "b", "k"))
+    val rows = got.select("k", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "x", -1L), (2L, "y", -1L), (3L, "z", 30L)))
+    // default read (no merge) keeps ONE footer's schema — the merge is
+    // what makes the evolved column visible
+    val plain = spark.read.parquet(dir)
+    assert(plain.schema.fieldNames.length <= 3)
+  }
 }

@@ -50,6 +50,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(StreamingOps.tumblingCounts(batchEvents)))
   }
 
+  test("X36+ streaming CDC apply: per-batch merge, later batch wins, replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    val snap = base.resolve("snapshot").toString
+    val ckpt = base.resolve("ckpt").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def snapshot(): Map[Long, (Double, Timestamp)] =
+      spark.read.parquet(snap).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getTimestamp(2))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    def runOnce(): Unit = {
+      val q = StreamingOps.cdcApplyStream(
+        mem.toDF().toDF("k", "v", "ts"), snap, ckpt)
+      q.awaitTermination(120000)
+    }
+    // batch 1: inserts (incl. an in-batch duplicate — max (ts, v) wins)
+    mem.addData((1L, 10.0, t("2024-01-01 00:00:00")),
+      (2L, 20.0, t("2024-01-01 00:00:00")),
+      (2L, 21.0, t("2024-01-01 00:00:05")))
+    runOnce()
+    assert(snapshot() == Map(
+      1L -> (10.0, t("2024-01-01 00:00:00")),
+      2L -> (21.0, t("2024-01-01 00:00:05"))))
+    // batch 2 (new query, same checkpoint = resume): update + insert
+    mem.addData((2L, 25.0, t("2024-01-02 00:00:00")),
+      (3L, 30.0, t("2024-01-02 00:00:00")))
+    runOnce()
+    assert(snapshot() == Map(
+      1L -> (10.0, t("2024-01-01 00:00:00")),
+      2L -> (25.0, t("2024-01-02 00:00:00")),
+      3L -> (30.0, t("2024-01-02 00:00:00"))))
+    // replay with no new data: snapshot unchanged (idempotent apply)
+    runOnce()
+    assert(snapshot() == Map(
+      1L -> (10.0, t("2024-01-01 00:00:00")),
+      2L -> (25.0, t("2024-01-02 00:00:00")),
+      3L -> (30.0, t("2024-01-02 00:00:00"))))
+  }
+
   test("G22++ stream-static enrichment: streaming (append) == batch, dims broadcast") {
     val cust = sources.Tables.customer(spark, SparkTestSession.sf0001)
     val nat = sources.Tables.nation(spark, SparkTestSession.sf0001)
