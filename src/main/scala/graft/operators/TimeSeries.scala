@@ -151,6 +151,38 @@ object TimeSeries {
         when(defined, round(zRaw, 9)).as("z"),
         when(defined && abs(zRaw) > 2, lit(true)).otherwise(false).as("is_outlier"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // X61: period-over-period growth — monthly revenue with MoM and YoY
+    // percent change (lag 1 / lag 12 over the month series). The lag
+    // window runs on the PRE-AGGREGATED month table (one row per
+    // calendar month — bounded by the time dimension, never the fact
+    // count), so its single partition is a constant-size series, the
+    // standard shape for every period-over-period report. Revenue is an
+    // order-independent decimal sum cast once to double; the growth
+    // ratios are identical double expressions both engines; periods
+    // with no prior/yearago month stay NULL.
+    Q("revenue_mom_yoy",
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round((revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w, 9) AS mom,
+        |  round((revenue - lag(revenue, 12) OVER w) / lag(revenue, 12) OVER w, 9) AS yoy
+        |FROM m WINDOW w AS (ORDER BY month)
+        |ORDER BY month""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("month")
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 4)))
+          .cast("double").as("revenue"))
+        .select(col("month"), col("revenue"),
+          round((col("revenue") - lag(col("revenue"), 1).over(w))
+            / lag(col("revenue"), 1).over(w), 9).as("mom"),
+          round((col("revenue") - lag(col("revenue"), 12).over(w))
+            / lag(col("revenue"), 12).over(w), 9).as("yoy"))
+        .orderBy("month")
     }
   )
 }
