@@ -44,7 +44,9 @@ object SparkEntry {
       operators.Audit.all ++
       operators.Graph.all ++
       operators.Ranking.all ++
-      operators.Associations.all
+      operators.Associations.all ++
+      operators.Lexicon.all ++
+      operators.Experiments.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

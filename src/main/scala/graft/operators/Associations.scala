@@ -59,6 +59,59 @@ object Associations {
         .filter(col("support") >= MinSupport)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(TopK)
+    },
+
+    // X47b: pointwise mutual information over basket-level (distinct)
+    // co-occurrence — the association STRENGTH score built from the
+    // pair table: pmi = ln(P(a,b) / (P(a)·P(b))) with P measured over
+    // baskets, i.e. ln(c_ab·N / (c_a·c_b)). All counts are exact
+    // integers; c_ab·N and c_a·c_b stay in BIGINT (exact), so the only
+    // float steps are one division and one ln, identical both engines;
+    // ranking uses the ROUNDED pmi (rrf_fusion convention) with pair-id
+    // tiebreaks so order is engine-deterministic.
+    //
+    // 100 TB posture: marginals are a second hash agg over the same
+    // distinct (basket, item) table; the pair⋈marginal joins key on
+    // item ids (high cardinality — AQE may still broadcast the marginal
+    // side when it fits, which is the right call either way), and the
+    // basket total rides in as a broadcast single row. Final top-k is
+    // `TakeOrderedAndProject`.
+    Q("pmi_parts",
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (
+         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+         |  FROM lp a JOIN lp b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY part_a, part_b HAVING count(*) >= $MinSupport),
+         |m AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY l_partkey),
+         |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lp)
+         |SELECT part_a, part_b, support,
+         |  round(ln(CAST(support * n_baskets AS DOUBLE)
+         |    / CAST(ma.c * mb.c AS DOUBLE)), 6) AS pmi
+         |FROM p JOIN m ma ON part_a = ma.l_partkey
+         |       JOIN m mb ON part_b = mb.l_partkey
+         |       CROSS JOIN n
+         |ORDER BY pmi DESC, part_a, part_b LIMIT $TopK""".stripMargin) { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = lp.as("a")
+        .join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSupport)
+      val marg = lp.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val n = lp.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      pairs
+        .join(marg.select(col("l_partkey").as("part_a"), col("c").as("c_a")), "part_a")
+        .join(marg.select(col("l_partkey").as("part_b"), col("c").as("c_b")), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("support"),
+          round(log((col("support") * col("n_baskets")).cast("double")
+            / (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("part_a"), col("part_b"))
+        .limit(TopK)
     }
   )
 }
