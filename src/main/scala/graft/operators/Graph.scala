@@ -233,6 +233,52 @@ object Graph {
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))
+    },
+
+    // X68: k-hop neighborhood size (k = 2) — per node, the count of
+    // distinct nodes reachable in one hop and within two hops over the
+    // co-order graph. The "how connected is this entity's vicinity"
+    // feature (fraud rings, recommendation candidate pools) between
+    // 1-hop degree and X21's full reachability.
+    //
+    // 100 TB posture: the 2-hop expansion is one self-join of the
+    // symmetrized edge list keyed on the middle node, then a distinct
+    // count keyed on the origin — fan-out is Σ deg², the irreducible
+    // cost of EXACT 2-hop sets; the edge set here is support-pruned
+    // (co-order ≥ 2), which is the production mitigation (prune or
+    // sketch with HLL beyond that — `approx_count_distinct` drops in
+    // for `countDistinct` unchanged when exactness can be traded).
+    Q("khop_2_reach",
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS src, pb AS dst FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |two AS (SELECT e1.src AS src, e2.dst AS dst
+        |  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src),
+        |reach AS (SELECT src, dst FROM sym UNION ALL SELECT src, dst FROM two)
+        |SELECT s.src AS node,
+        |  CAST(count(DISTINCT s.dst) AS BIGINT) AS n_1hop,
+        |  CAST(r.n2 AS BIGINT) AS n_2hop
+        |FROM sym s JOIN (
+        |  SELECT src, count(DISTINCT dst) AS n2 FROM reach WHERE dst <> src GROUP BY src) r
+        |  ON r.src = s.src
+        |GROUP BY s.src, r.n2
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val e = coorderEdges(s, d)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val two = sym.as("e1").join(sym.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      val oneHop = sym.groupBy("src").agg(countDistinct(col("dst")).as("n_1hop"))
+      val reach = sym.union(two)
+        .filter(col("dst") =!= col("src"))
+        .groupBy("src").agg(countDistinct(col("dst")).as("n_2hop"))
+      oneHop.join(reach, "src")
+        .select(col("src").as("node"), col("n_1hop"), col("n_2hop"))
+        .orderBy("node")
     }
   )
 }

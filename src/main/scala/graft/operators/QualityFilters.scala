@@ -162,6 +162,64 @@ object QualityFilters {
          |    c -> -(c / n_tokens) * log2(c / n_tokens))), 6) AS entropy
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
       tokenEntropy(Tables.documents(s, d))
+    },
+
+    // X67: WITHIN-document repetition signals (Gopher §A.1.1's
+    // duplicate-n-gram family) — the self-repetition gate that catches
+    // looping generators and scraped spam, complementary to X23's
+    // cross-document boilerplate: dup fraction of 2-grams and 5-grams
+    // (1 − distinct/total) and the top-bigram share. One pass: both
+    // gram sizes explode from the same scan with a size tag, then one
+    // (doc, n, gram) hash agg and one per-doc conditional agg — a doc's
+    // signals never see another doc, so the shuffle keys are (doc, gram)
+    // then doc, both high-cardinality. Docs too short for a gram size
+    // keep NULL fractions (0/0) on the document spine in both engines.
+    Q("repetition_signals",
+      s"""WITH pd AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g2 AS (SELECT doc_id, array_to_string(t[u.i:u.i+1], ' ') AS g
+         |  FROM pd, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+         |g5 AS (SELECT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS g
+         |  FROM pd, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+         |tf2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |tf5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+         |p2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot2,
+         |  CAST(count(*) AS BIGINT) AS uniq2, CAST(max(c) AS BIGINT) AS top2
+         |  FROM tf2 GROUP BY doc_id),
+         |p5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot5,
+         |  CAST(count(*) AS BIGINT) AS uniq5 FROM tf5 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(tot2, 0) AS n_2grams,
+         |  coalesce(tot5, 0) AS n_5grams,
+         |  round(1.0 - CAST(uniq2 AS DOUBLE) / nullif(CAST(tot2 AS DOUBLE), 0.0), 9) AS dup_2gram_frac,
+         |  round(CAST(top2 AS DOUBLE) / nullif(CAST(tot2 AS DOUBLE), 0.0), 9) AS top_2gram_frac,
+         |  round(1.0 - CAST(uniq5 AS DOUBLE) / nullif(CAST(tot5 AS DOUBLE), 0.0), 9) AS dup_5gram_frac
+         |FROM documents d LEFT JOIN p2 ON d.doc_id = p2.doc_id
+         |  LEFT JOIN p5 ON d.doc_id = p5.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = docs.select(col("doc_id"), lit(2).as("n"),
+          explode(TextFns.ngrams(col("text"), 2)).as("g"))
+        .union(docs.select(col("doc_id"), lit(5).as("n"),
+          explode(TextFns.ngrams(col("text"), 5)).as("g")))
+      val tf = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      val per = tf.groupBy("doc_id").agg(
+        sum(when(col("n") === 2, col("c"))).as("tot2"),
+        count(when(col("n") === 2, lit(1))).as("uniq2"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 5, col("c"))).as("tot5"),
+        count(when(col("n") === 5, lit(1))).as("uniq5"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tot2"), lit(0L)).as("n_2grams"),
+          coalesce(col("tot5"), lit(0L)).as("n_5grams"),
+          round(lit(1.0) - try_divide(col("uniq2").cast("double"),
+            nullif(col("tot2").cast("double"), lit(0.0))), 9).as("dup_2gram_frac"),
+          round(try_divide(col("top2").cast("double"),
+            nullif(col("tot2").cast("double"), lit(0.0))), 9).as("top_2gram_frac"),
+          round(lit(1.0) - try_divide(col("uniq5").cast("double"),
+            nullif(col("tot5").cast("double"), lit(0.0))), 9).as("dup_5gram_frac"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -229,6 +229,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "wedge + closure must plan as keyed joins")
   }
 
+  test("khop_2_reach: expansion is a keyed self-join, never a loop join") {
+    val p = plan("khop_2_reach")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "2-hop expansion must plan as an equi-join on the middle node")
+  }
+
+  test("vocab_oov: membership probe is a broadcast join against the constant-size vocab") {
+    val p = plan("vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      "the token->vocab probe must broadcast the top-V side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut must be a bounded top-V, not a global sort")
+  }
+
   test("assign_dense_ids: data ranked per range-partition, offsets broadcast") {
     val p = plan("assign_dense_ids")
     assert(p.contains("hashpartitioning(pid"),

@@ -25,6 +25,25 @@ class QualityFiltersSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("repetition_signals: gram counts tie to token counts; fractions in [0,1]") {
+    val out = SparkEntry.queries("repetition_signals")(spark, sf001).cache()
+    try {
+      // n_2grams must equal max(ntok-1, 0) — ties the gram explode to
+      // the tokenizer the oracle can't cross-check against
+      val ntok = sources.Tables.documents(spark, sf001)
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      val bad = out.join(ntok, "doc_id")
+        .filter(col("n_2grams") =!= greatest(col("ntok") - 1, lit(0L))).count()
+      assert(bad == 0, s"$bad docs where n_2grams != ntok-1")
+      Seq("dup_2gram_frac", "top_2gram_frac", "dup_5gram_frac").foreach { c =>
+        assert(out.filter(col(c) < -1e-12 || col(c) > 1 + 1e-12).count() == 0, s"$c out of [0,1]")
+      }
+      assert(out.filter(col("dup_2gram_frac") > 0).count() > 0,
+        "no doc repeats a bigram — dup signal is vacuous on this corpus")
+    } finally out.unpersist()
+  }
+
   test("token entropy: 0 <= H <= log2(n_unique), and uniform toy docs hit the bound") {
     val out = QualityFilters.tokenEntropy(
       sources.Tables.documents(spark, sf001)).cache()
