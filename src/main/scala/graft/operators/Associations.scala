@@ -112,6 +112,53 @@ object Associations {
             / (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("part_a"), col("part_b"))
         .limit(TopK)
+    },
+
+    // X69: frequent triples — the Apriori level-3 step past the pair
+    // table: canonicalized (a < b < c) item sets co-ordered in ≥
+    // MinSupport baskets. Support is ANTI-MONOTONE (a frequent triple's
+    // sub-pairs are all frequent), so the result needs no pair check —
+    // but the SCALE path exploits it: items are pre-pruned to those in
+    // ≥ MinSupport baskets (broadcast semi-join against the small
+    // frequent-item set) BEFORE the cubic per-basket expansion, the
+    // classic Apriori candidate cut. Per-basket work is cubic in
+    // (pruned) basket size only; the joins key on the high-cardinality
+    // basket id.
+    Q("frequent_triples",
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |fi AS (SELECT l_partkey FROM lp GROUP BY l_partkey
+         |       HAVING count(*) >= $MinSupport),
+         |fp AS (SELECT lp.l_orderkey, lp.l_partkey FROM lp
+         |       JOIN fi ON lp.l_partkey = fi.l_partkey)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  c.l_partkey AS part_c, count(*) AS support
+         |FROM fp a JOIN fp b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |JOIN fp c
+         |  ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+         |GROUP BY part_a, part_b, part_c HAVING count(*) >= $MinSupport
+         |ORDER BY support DESC, part_a, part_b, part_c
+         |LIMIT $TopK""".stripMargin) { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freqItems = lp.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= MinSupport)
+        .select("l_partkey")
+      val fp = lp.join(freqItems, "l_partkey")
+      fp.as("a")
+        .join(fp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .join(fp.as("c"),
+          col("b.l_orderkey") === col("c.l_orderkey") &&
+            col("b.l_partkey") < col("c.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"),
+          col("c.l_partkey").as("part_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSupport)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"), col("part_c"))
+        .limit(TopK)
     }
   )
 }

@@ -95,6 +95,23 @@ object TimeWindows {
         .orderBy("purchase_id", "click_id")
     },
 
+    // G30+: the LEFT OUTER interval join's batch form — click-less
+    // purchases survive with NULL click columns (in the stream they
+    // emit once both watermarks pass the join window; see
+    // StreamingOps.purchaseClickLeftJoin + StreamingSpec). NULL
+    // ordering is pinned explicitly (engines default differently).
+    Q("stream_left_join_batch_form",
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      StreamingOps.purchaseClickLeftJoin(Tables.events(s, d))
+        .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+    },
+
     // G22c: session windows (30m gap) per user. Oracle is the classic
     // gaps-and-islands rewrite: a session break is a gap >= 30m (Spark
     // merges an event only when it lands STRICTLY inside [start,

@@ -43,6 +43,23 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** JSONL (one JSON object per line) — the interchange format LLM
+    * corpora ship in (one doc per line, splittable by newline, no
+    * footer). Spark's json sink IS jsonl: each row becomes one compact
+    * JSON object line; binary columns serialize as base64. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL read with a REQUIRED explicit schema: schema inference runs
+    * a whole extra pass over the data before the real job — at corpus
+    * scale the schema is a contract the pipeline declares, never
+    * something re-derived from 100 TB of lines. Malformed lines land in
+    * NULL-rowed records under the default PERMISSIVE mode rather than
+    * killing the job (corpus files routinely carry a few bad lines). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Schema-evolution read: union the footer schemas of every file in
     * the directory — rows written before a column existed read it back
     * as NULL. This is the ingest-directory shape (appending producers

@@ -169,7 +169,21 @@ object StreamingOps {
     * (unbounded-state-safe, the stream-stream join contract). Works
     * identically on batch inputs (same expressions; the time-range
     * predicate becomes a plain theta join). */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+  def purchaseClickJoin(events: DataFrame): DataFrame =
+    purchaseClickJoinOfType(events, "inner")
+
+  /** G30+: the LEFT OUTER form — purchases with NO preceding-hour click
+    * are still emitted, click columns NULL. In streaming, the engine
+    * holds an unmatched purchase in state until BOTH watermarks pass its
+    * join window (only then is "no match can still arrive" provable),
+    * and emits the null-padded row at that point — so outer results
+    * trail the inner ones by the watermark delay by design. Same state
+    * eviction bound as the inner join; identical expressions run in
+    * batch, where the deferral disappears. */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame =
+    purchaseClickJoinOfType(events, "leftOuter")
+
+  private def purchaseClickJoinOfType(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -183,7 +197,8 @@ object StreamingOps {
     purchases.join(clicks,
       col("user_id") === col("click_user")
         && col("click_ts") <= col("purchase_ts")
-        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
   }
 

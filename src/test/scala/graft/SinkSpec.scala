@@ -122,4 +122,30 @@ class SinkSpec extends AnyFunSuite {
     val plain = spark.read.parquet(dir)
     assert(plain.schema.fieldNames.length <= 3)
   }
+
+  test("JSONL sink: one compact object per line; explicit-schema read round-trips") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("jsonl")
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text", "lang")
+    Sinks.writeJsonl(docs, dir)
+    // file shape: every line is a self-contained JSON object
+    val lines = partLines(dir).flatten
+    assert(lines.nonEmpty)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")),
+      "each line must be one JSON object")
+    // read back with the declared schema (no inference pass) == source
+    val got = Sinks.readJsonl(spark, dir, docs.schema)
+    assert(got.schema == docs.schema)
+    assert(got.count() == docs.count())
+    assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty,
+      "JSONL round-trip must preserve every row")
+    // PERMISSIVE read: a malformed line yields a null row, not a failure
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.json"),
+      "{not json at all".getBytes)
+    val withBad = Sinks.readJsonl(spark, dir, docs.schema)
+    assert(withBad.count() == docs.count() + 1)
+    assert(withBad.filter(col("doc_id").isNull).count() == 1)
+  }
 }

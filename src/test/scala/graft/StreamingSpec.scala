@@ -178,6 +178,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("G30+ stream-stream LEFT OUTER join: null-padded rows flush on watermark advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamingOps.purchaseClickLeftJoin(stream).writeStream
+      .format("memory").queryName("louter_sink").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: click 30 min before purchase (matches); user 2: purchase
+    // with no click anywhere (outer row); user 3: click 2h before
+    // purchase (outside the 1h window → also an outer row)
+    mem.addData(
+      (10L, t("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (11L, t("2024-01-01 10:30:00"), 1L, "purchase", 5.0, "{}"),
+      (20L, t("2024-01-01 10:45:00"), 2L, "purchase", 7.0, "{}"),
+      (30L, t("2024-01-01 08:00:00"), 3L, "click", 1.0, "{}"),
+      (31L, t("2024-01-01 10:50:00"), 3L, "purchase", 9.0, "{}"))
+    q.processAllAvailable()
+    // outer rows cannot exist yet: the engine can't prove no late click
+    // will arrive until the watermark passes the join windows
+    val early = spark.table("louter_sink").where(col("click_id").isNull).count()
+    assert(early == 0, "outer rows must not emit before the watermark allows")
+    // sentinels must pass BOTH side filters: the global watermark is the
+    // MIN of the per-side watermarks (multipleWatermarkPolicy=min), so a
+    // far-future click alone leaves the purchase side's watermark — and
+    // with it every pending outer row — stuck. Two rounds because the
+    // watermark observed in batch N only takes effect in batch N+1.
+    mem.addData(
+      (90L, t("2024-01-02 12:00:00"), 9L, "click", 0.0, "{}"),
+      (91L, t("2024-01-02 12:00:00"), 9L, "purchase", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(
+      (92L, t("2024-01-03 12:00:00"), 9L, "click", 0.0, "{}"),
+      (93L, t("2024-01-03 12:00:00"), 9L, "purchase", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    // user 9's sentinel purchases are themselves eventual outer rows
+    // (the later sentinel is still held in state) — scope the assertion
+    // to the users under test
+    val out = spark.table("louter_sink")
+      .where(col("user_id") <= 3L)
+      .select("purchase_id", "click_id").as[(Long, Option[Long])]
+      .collect().toSet
+    assert(out == Set((11L, Some(10L)), (20L, None), (31L, None)),
+      s"got $out — matched row plus two watermark-flushed outer rows expected")
+  }
+
   test("G23 streaming dedup: duplicate event_ids within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
