@@ -159,6 +159,97 @@ object Ranking {
           round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
             + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(TopN)
+    },
+
+    // X70: retrieval quality evaluation — hits@10, MRR@10, nDCG@10 of
+    // the exact cosine ranking against label-match relevance (query and
+    // candidate share an embeddings.label). The eval loop every
+    // search/RAG stack runs before swapping a retriever.
+    //
+    // Cross-engine float discipline, taken one step further than BM25:
+    // rank is in 1..10, so every DCG weight 1/log2(rank+1) — and every
+    // possible IDCG prefix sum — is one of a handful of constants.
+    // They are computed ONCE in Scala and embedded as the SAME double
+    // literals in both engines (shortest-roundtrip toString), so NO
+    // libm call exists anywhere in the query; per-hit weights
+    // accumulate as DECIMAL(38,12) (order-independent), and MRR is a
+    // MAX (order-free) of exact single divisions.
+    //
+    // 100 TB posture: rides X3's broadcast-query two-phase top-k; all
+    // metric math happens on the k·|queries| ranked rows.
+    Q("retrieval_eval", {
+      // CAST every literal: a bare decimal literal is DECIMAL in DuckDB
+      // (and DECIMAL arithmetic would diverge from Spark's double path)
+      val wCase = (1 to 10).map(r =>
+        s"WHEN $r THEN CAST(${Ranking.dcgW(r)} AS DOUBLE)").mkString(" ")
+      val idcgCase = (1 to 10).map(m =>
+        s"WHEN $m THEN CAST(${Ranking.idcgTable(m)} AS DOUBLE)").mkString(" ")
+      s"""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, n2 AS qn2
+         |      FROM v WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, q_label, vec_id, label,
+         |    round(list_inner_product(qv, v) / (sqrt(n2) * sqrt(qn2)), 6) AS cos
+         |  FROM v CROSS JOIN q WHERE vec_id >= 8),
+         |ranked AS (
+         |  SELECT q_id, q_label, label, CAST(row_number() OVER w AS INT) AS rank
+         |  FROM scored
+         |  WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |  QUALIFY rank <= 10),
+         |rel AS (SELECT label, count(*) AS n_rel FROM v WHERE vec_id >= 8 GROUP BY label),
+         |m AS (
+         |  SELECT q_id, q_label,
+         |    CAST(count(CASE WHEN label = q_label THEN 1 END) AS BIGINT) AS hits10,
+         |    round(coalesce(max(CASE WHEN label = q_label THEN CAST(1.0 AS DOUBLE) / rank END), CAST(0.0 AS DOUBLE)), 6) AS mrr10,
+         |    CAST(SUM(CAST(CASE WHEN label = q_label
+         |      THEN (CASE rank $wCase END) ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+         |  FROM ranked GROUP BY q_id, q_label)
+         |SELECT q_id, q_label, n_rel,
+         |  hits10, mrr10,
+         |  round(dcg / nullif(CASE least(n_rel, 10) $idcgCase ELSE CAST(0.0 AS DOUBLE) END, CAST(0.0 AS DOUBLE)), 6) AS ndcg10
+         |FROM m JOIN rel ON rel.label = m.q_label
+         |ORDER BY q_id""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val ranked = Similarity.cosineTopK(emb, nQ = 8, k = 10)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val qLabels = labels.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val rel = labels.filter(col("vec_id") >= 8)
+        .groupBy("label").agg(count(lit(1)).as("n_rel"))
+      val hit = col("label") === col("q_label")
+      val wOfRank = (1 to 10).foldLeft(lit(0.0)) { (acc, r) =>
+        when(col("rank") === r, lit(Ranking.dcgW(r))).otherwise(acc)
+      }
+      val idcgOf = (1 to 10).foldLeft(lit(0.0)) { (acc, m) =>
+        when(least(col("n_rel"), lit(10)) === m, lit(Ranking.idcgTable(m))).otherwise(acc)
+      }
+      val m = ranked
+        .join(broadcast(qLabels), "q_id")
+        .join(labels, "vec_id")
+        .groupBy("q_id", "q_label")
+        .agg(
+          count(when(hit, lit(1))).as("hits10"),
+          round(coalesce(max(when(hit, lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr10"),
+          sum(when(hit, wOfRank).otherwise(lit(0.0)).cast(DecimalType(38, 12)))
+            .cast("double").as("dcg"))
+      m.join(broadcast(rel), col("label") === col("q_label"))
+        .select(col("q_id"), col("q_label"), col("n_rel"),
+          col("hits10"), col("mrr10"),
+          round(col("dcg") / nullif(idcgOf, lit(0.0)), 6).as("ndcg10"))
+        .orderBy("q_id")
     }
   )
+
+  /** DCG weight 1/log2(r+1) and IDCG prefix sums, computed once and
+    * embedded as identical double literals in BOTH engines (the
+    * toString is the shortest round-trip form, so DuckDB parses back
+    * the exact same double) — see retrieval_eval's scaladoc. */
+  private[operators] val dcgW: Map[Int, Double] =
+    (1 to 10).map(r => r -> 1.0 / (math.log(r + 1.0) / math.log(2.0))).toMap
+  private[operators] val idcgTable: Map[Int, Double] =
+    (1 to 10).map(m => m -> (1 to m).map(dcgW).sum).toMap
 }

@@ -106,6 +106,42 @@ object Sampling {
       Tables.documents(s, d)
         .select(col("doc_id"), splitLabel(col("doc_id")).as("split"))
         .orderBy("doc_id")
+    },
+
+    // X71: corpus mixing to target proportions — draw a fixed-budget
+    // training mix whose language shares match declared mixture weights
+    // (the data-mixing step before LM training: upsample/downsample
+    // sources to the recipe, deterministically). Per-language quota =
+    // weight × budget (integers by construction); each language
+    // contributes its quota smallest md5 keys — so the draw is uniform
+    // within language, reproducible across engines/runs/cluster sizes,
+    // and STABLE under corpus appends everywhere except at the quota
+    // boundary. Languages with fewer docs than quota contribute all
+    // they have (the mix degrades visibly rather than silently
+    // re-weighting). Same window shape as X20a: stratum-keyed
+    // row_number over a scan-side hash key.
+    Q("corpus_mix",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 40
+        |  WHEN 'fr' THEN 40 WHEN 'de' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val quota = when(col("lang") === "en", 80)
+        .when(col("lang") === "es", 40)
+        .when(col("lang") === "fr", 40)
+        .when(col("lang") === "de", 20)
+        .when(col("lang") === "zh", 20)
+        .otherwise(0)
+      Tables.documents(s, d)
+        .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":mix"))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))))
+        .filter(col("__rn") <= quota)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }

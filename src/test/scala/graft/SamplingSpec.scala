@@ -41,4 +41,22 @@ class SamplingSpec extends AnyFunSuite {
     val whole = split.as[(Long, String)].collect().toMap
     sub.foreach { case (id, s) => assert(whole(id) == s) }
   }
+
+  test("corpus_mix: per-language draw hits min(quota, available) exactly") {
+    val quota = Map("en" -> 80L, "es" -> 40L, "fr" -> 40L, "de" -> 20L, "zh" -> 20L)
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf001)
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("corpus_mix")(spark, SparkTestSession.sf001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    quota.foreach { case (lang, q) =>
+      assert(got.getOrElse(lang, 0L) == math.min(q, avail.getOrElse(lang, 0L)),
+        s"$lang draw ${got.get(lang)} != min($q, ${avail.get(lang)})")
+    }
+    // determinism: the draw is a pure function of ids — rerun matches
+    val a = SparkEntry.queries("corpus_mix")(spark, SparkTestSession.sf001)
+      .as[(Long, String)].collect().toSeq
+    val b = SparkEntry.queries("corpus_mix")(spark, SparkTestSession.sf001)
+      .as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
 }

@@ -122,4 +122,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(narrowMean < mean,
       s"nProbe=1 recall $narrowMean !< nProbe=4 recall $mean — probing is inert")
   }
+
+  test("X70 retrieval_eval: metric laws — bounds, consistency, perfect-retrieval fixpoint") {
+    val rows = SparkEntry.queries("retrieval_eval")(spark, SparkTestSession.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits10")
+      val mrr = r.getAs[Double]("mrr10")
+      val ndcg = r.getAs[Double]("ndcg10")
+      assert(hits >= 0 && hits <= 10)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= -1e-9 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg out of [0,1]")
+      assert((hits > 0) == (mrr > 0.0), "MRR must be positive iff any hit")
+      assert((hits > 0) == (ndcg > 0.0), "nDCG must be positive iff any hit")
+      // a full-house top-10 against >= 10 relevant is the DCG=IDCG fixpoint
+      if (hits == 10L && r.getAs[Long]("n_rel") >= 10L)
+        assert(math.abs(ndcg - 1.0) < 1e-6, s"all-hits ndcg $ndcg != 1")
+    }
+    // the metric must DISCRIMINATE on this corpus (labels cluster)
+    assert(rows.exists(_.getAs[Double]("ndcg10") > 0.0), "all-zero nDCG — eval is vacuous")
+  }
 }
