@@ -110,6 +110,81 @@ object Audit {
         |    (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders),
         |    (SELECT count(*) FROM orders))
         |SELECT "check", violations, total, violations = 0 AS pass
-        |FROM checks ORDER BY "check"""".stripMargin)(constraintAudit)
+        |FROM checks ORDER BY "check"""".stripMargin)(constraintAudit),
+
+    // X72: snapshot diff / change-feed generation — the INVERSE of
+    // X36's CDC apply: given two keyed snapshots, emit what changed
+    // (added / removed / changed / same, with the changed-column list),
+    // summarized per (status, changed_cols). The data-diff every
+    // pipeline debugging session and incremental-publish step needs.
+    // The "new" snapshot is derived deterministically from orders so
+    // both engines diff identical inputs: keys ≡ 0 (mod 13) deleted,
+    // prices of keys ≡ 0 (mod 7) shifted by +10.0 (an exact double add
+    // — no rounding, so equality compares bit-identically), every 9th
+    // status flipped.
+    //
+    // 100 TB posture: ONE full-outer join keyed on the snapshot key
+    // (both sides shuffle once, partial-agg counts after); column
+    // comparisons are scan-local; null-safe equality (<=>) keeps NULL
+    // cells from faking changes.
+    Q("snapshot_diff",
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+        |  FROM orders),
+        |new_ AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 'X' ELSE o_orderstatus END AS st
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.price IS DISTINCT FROM n.price
+        |           OR o.st IS DISTINCT FROM n.st THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+        |             AND o.price IS DISTINCT FROM n.price THEN 'price' END,
+        |      CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+        |             AND o.st IS DISTINCT FROM n.st THEN 'st' END) AS changed_cols
+        |  FROM old o FULL OUTER JOIN new_ n ON o.k = n.k)
+        |SELECT status, changed_cols, count(*) AS n
+        |FROM d GROUP BY status, changed_cols
+        |ORDER BY status, changed_cols""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val old = orders.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("st"))
+      val neu = orders.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .select(col("o_orderkey").as("nk"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("nprice"),
+          when(pmod(col("o_orderkey"), lit(9)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("nst"))
+        // -k - 1 keeps synthetic keys strictly negative (key 0 exists —
+        // a bare negation would collide it with the old snapshot)
+        .union(orders.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .select((-col("o_orderkey") - 1).as("nk"),
+            col("o_totalprice").as("nprice"), col("o_orderstatus").as("nst")))
+      val joined = old.join(neu, col("k") === col("nk"), "full_outer")
+      val priceChanged = !(col("price") <=> col("nprice"))
+      val stChanged = !(col("st") <=> col("nst"))
+      val both = col("k").isNotNull && col("nk").isNotNull
+      joined.select(
+        when(col("k").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .when(priceChanged || stChanged, "changed")
+          .otherwise("same").as("status"),
+        concat_ws(",",
+          when(both && priceChanged, "price"),
+          when(both && stChanged, "st")).as("changed_cols"))
+        .groupBy("status", "changed_cols")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status", "changed_cols")
+    }
   )
 }

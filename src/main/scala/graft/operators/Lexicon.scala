@@ -114,6 +114,38 @@ object Lexicon {
           concat_ws(",", transform(col("post"), x => x.getField("_2").cast("string")))
             .as("postings"))
         .orderBy("term")
+    },
+
+    // X63b: phrase matching over POSITIONAL postings — the index-side
+    // mechanism behind exact phrase search ("table hash" as adjacent
+    // tokens), as a retrieval system runs it: per-term position lists
+    // intersected with a +1 offset, never a substring rescan of the
+    // corpus. Only the two phrase terms' postings are materialized
+    // (scan-local filter BEFORE the join — the shuffle carries term
+    // hits, not the token stream), joined on doc_id with the adjacency
+    // offset in the join condition. Positions are 0-based Spark-side
+    // and 1-based in DuckDB; the join compares DELTAS, so the base
+    // cancels in both engines.
+    Q("phrase_match_positional",
+      s"""WITH pd AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |toks AS (
+         |  SELECT doc_id, t[u.i] AS term, u.i AS pos
+         |  FROM pd, unnest(range(1, len(t) + 1)) AS u(i)),
+         |a AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+         |b AS (SELECT doc_id, pos FROM toks WHERE term = 'hash')
+         |SELECT a.doc_id, count(*) AS n_occurrences
+         |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      val a = toks.filter(col("term") === "table")
+        .select(col("doc_id"), col("pos").as("pos_a"))
+      val b = toks.filter(col("term") === "hash")
+        .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+      a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos_a") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -71,6 +71,42 @@ class LexiconSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("phrase_match_positional: position-list intersection == n-gram scan count") {
+    // the positional-index mechanism must agree with the brute-force
+    // bigram scan it replaces, doc for doc
+    val got = queries("phrase_match_positional")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    val want = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.ngrams(col("text"), 2)).as("g"))
+      .filter(col("g") === "table hash")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    assert(got == want, "positional intersection disagrees with bigram scan")
+    assert(got.nonEmpty)
+  }
+
+  test("snapshot_diff: statuses partition the key universe with exact add/remove counts") {
+    val rows = queries("snapshot_diff")(spark, sf001).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val orders = sources.Tables.orders(spark, sf001)
+    val total = orders.count()
+    val added = orders.filter(pmod(col("o_orderkey"), lit(101)) === 0).count()
+    val removed = orders.filter(pmod(col("o_orderkey"), lit(13)) === 0).count()
+    assert(byStatus("added") == added)
+    assert(byStatus("removed") == removed)
+    // every key in old ∪ new appears exactly once across statuses
+    assert(byStatus.values.sum == total + added)
+    assert(byStatus.keySet == Set("added", "removed", "changed", "same"))
+    // changed rows carry a non-empty changed-column list; others don't
+    rows.foreach { r =>
+      val cols = r.getAs[String]("changed_cols")
+      if (r.getAs[String]("status") == "changed") assert(cols.nonEmpty)
+      else assert(cols.isEmpty, s"${r.getAs[String]("status")} rows must not list columns")
+    }
+  }
+
   test("pmi_parts: pmi recomputes from basket counts for the top pair") {
     val out = queries("pmi_parts")(spark, sf0001).collect()
     assert(out.nonEmpty)
