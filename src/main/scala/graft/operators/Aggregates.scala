@@ -187,6 +187,43 @@ object Aggregates {
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
         .localCheckpoint()
       finally { s.conf.set(v1Key, savedV1); s.conf.set(pushKey, savedPush) }
+    },
+
+    // X74: incremental aggregate maintenance — the materialized-view
+    // update pattern: a pre-aggregated HISTORY (orders before the
+    // cutoff, aggregated once and persisted in production) is merged
+    // with the fresh DELTA's aggregate, and the merge must equal a full
+    // recompute — which is exactly what the oracle asserts (plain GROUP
+    // BY over everything). Works because count/sum are commutative
+    // monoids and the DECIMAL sums are exact, so history + delta
+    // composes associatively regardless of how history was itself
+    // accumulated.
+    //
+    // 100 TB posture: the daily job aggregates ONLY the delta
+    // (|delta| rows) and joins |keys|-sized aggregates — the history
+    // fact rows are never rescanned. The keyed full-outer + coalesce-add
+    // is the merge every incremental pipeline runs.
+    Q("incremental_agg_merge",
+      """SELECT o_custkey,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val cutoff = to_timestamp(lit("1998-01-01"))
+      def agg(df: org.apache.spark.sql.DataFrame, n: String, t: String) =
+        df.groupBy("o_custkey").agg(
+          count(lit(1)).as(n),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as(t))
+      val hist = agg(orders.filter(col("o_orderdate") < cutoff), "hn", "hs")
+      val delta = agg(orders.filter(col("o_orderdate") >= cutoff), "dn", "ds")
+      hist.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("hn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("hs"), lit(0).cast(DecimalType(18, 2)))
+            + coalesce(col("ds"), lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("total_spend"))
+        .orderBy("o_custkey")
     }
   )
 }

@@ -123,6 +123,35 @@ object Sequences {
         .agg(countDistinct(when(col("od") === col("d"), col("user_id"))).as("dau"),
           countDistinct(col("user_id")).as("wau7"))
         .orderBy("day")
+    },
+
+    // X73: the SKETCH-TABLE form of the rolling distinct — daily HLL
+    // sketches built once, union-merged per trailing window. This is
+    // how 100 TB pipelines actually serve rolling actives: X56's exact
+    // contribution-explode shuffles |daily-actives|×7 user rows; here
+    // the shuffle after the one daily aggregation carries |days|×7
+    // KILOBYTE sketches, and any window width / ad-hoc date range is a
+    // re-merge of the same persisted sketch table, no event rescan.
+    // Estimates, so no SQL oracle — SequencesSpec bounds the relative
+    // error against the exact X56 query (DataSketches HLL, lgK=12,
+    // ~1.6% typical). Dead days stay on the spine with estimate 0.
+    Q.noOracle("hll_rolling_users") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      daily.select(col("day").as("od"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("d"),
+          col("sk"))
+        .join(days, Seq("d"), "right")
+        .groupBy(col("d").as("day"))
+        .agg(
+          coalesce(hll_sketch_estimate(
+            hll_union_agg(when(col("od") === col("d"), col("sk")))), lit(0L)).as("dau_est"),
+          coalesce(hll_sketch_estimate(hll_union_agg(col("sk"))), lit(0L)).as("wau7_est"))
+        .orderBy("day")
     }
   )
 }

@@ -32,4 +32,22 @@ class CmsSpec extends AnyFunSuite {
         "w=8 over a 31-word vocabulary must collide somewhere")
     } finally joined.unpersist()
   }
+
+  test("X73 hll_rolling_users: estimates track the exact rolling distinct within 5%") {
+    val est = SparkEntry.queries("hll_rolling_users")(spark, sf001)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau_est"), r.getAs[Long]("wau7_est"))).toMap
+    val exact = SparkEntry.queries("rolling_active_users")(spark, sf001)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau7"))).toMap
+    assert(est.keySet == exact.keySet, "sketch path must keep the same day spine")
+    exact.foreach { case (day, (dau, wau)) =>
+      val (de, we) = est(day)
+      def ok(e: Long, x: Long) =
+        if (x == 0) e == 0
+        else math.abs(e - x).toDouble / x <= 0.05
+      assert(ok(de, dau), s"$day dau est $de vs exact $dau drifts > 5%")
+      assert(ok(we, wau), s"$day wau est $we vs exact $wau drifts > 5%")
+    }
+  }
 }
