@@ -78,7 +78,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries rides along so the total can be normalized across
+    // rounds: the registry grows every round, and a raw total compared
+    // against a fixed-size baseline silently penalizes added coverage.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -166,6 +166,36 @@ object NearDup {
       minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5)
         .orderBy("id1", "id2")
     }.copy(headline = true),
+
+    // X75: MinHash estimator calibration — for every LSH candidate
+    // pair, the exact 3-gram Jaccard is computed and compared to the
+    // signature-agreement estimate; the one-row report (count, mean
+    // signed error, mean/max absolute error) is the "measure, don't
+    // guess" gate a dedup pipeline runs before trusting a threshold.
+    // Exact verification ON CANDIDATES ONLY is the production shape —
+    // candidates are bucket-capped, so the exact-Jaccard join touches
+    // |candidates| pairs, never n². (A sampled corpus-wide recall eval
+    // goes vacuous at scale: dup pairs almost never land together in a
+    // small sample; NearDupSpec's planted-pair test covers recall.)
+    // Estimates ⇒ no SQL oracle; NearDupSpec bounds the errors at the
+    // K=32 theory (σ ≤ √(J(1−J)/32) ≈ 0.09).
+    Q.noOracle("minhash_calibration") { (s, d) =>
+      val docs = withPlantedDups(Tables.documents(s, d))
+      val cand = minhashPairs(docs, 0.0)
+      val grams = docs.select(col("doc_id"),
+        array_distinct(TextFns.ngrams(col("text"), 3)).as("g"))
+      val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
+      val union = (size(col("g1")) + size(col("g2"))).cast("double") - inter
+      val err = col("est_jaccard") - try_divide(inter, union)
+      cand
+        .join(grams.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
+        .join(grams.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
+        .select(err.as("err"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("err")), 6).as("mean_err"),
+          round(avg(abs(col("err"))), 6).as("mean_abs_err"),
+          round(max(abs(col("err"))), 6).as("max_abs_err"))
+    },
     Q.noOracle("simhash_signatures") { (s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
     },

@@ -95,4 +95,16 @@ class NearDupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(NearDup.minhashPairs(degenerate, 0.0).count() == 0)
   }
+
+  test("X75 calibration: estimator errors sit inside K=32 MinHash theory") {
+    val r = SparkEntry.queries("minhash_calibration")(spark, SparkTestSession.sf001)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") > 0, "no candidates — calibration is vacuous")
+    // unbiased estimator: the signed mean error must hover near 0
+    assert(math.abs(r.getAs[Double]("mean_err")) <= 0.05,
+      s"mean signed error ${r.getAs[Double]("mean_err")} — estimator is biased")
+    // σ = √(J(1−J)/32) ≤ 0.089; mean |err| ≈ 0.8σ, max a few σ
+    assert(r.getAs[Double]("mean_abs_err") <= 0.1)
+    assert(r.getAs[Double]("max_abs_err") <= 0.5)
+  }
 }

@@ -243,6 +243,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "vocab cut must be a bounded top-V, not a global sort")
   }
 
+  test("association mining: basket-keyed joins, heap top-k, never a cartesian") {
+    Seq("pmi_parts", "frequent_triples").foreach { q =>
+      val p = plan(q)
+      // the one-row corpus-stats broadcast rides a BNLJ by design
+      // (tfidf convention); only a shuffled cartesian is a bug
+      assert(!p.contains("CartesianProduct"),
+        s"$q: pair/triple expansion must stay an equi-join on the basket id")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$q: the basket self-join must be a keyed join")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k must be per-partition heaps, not a global sort")
+    }
+  }
+
+  test("incremental_agg_merge: both sides partial-agg map-side, no cartesian") {
+    val p = plan("incremental_agg_merge")
+    assert(p.contains("partial_count"), "history/delta aggs must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hll_rolling_users: sketch aggs are real partial/final aggregations") {
+    val p = plan("hll_rolling_users")
+    assert(p.contains("ObjectHashAggregate"),
+      "HLL sketch agg must run as an aggregation, not a window/collect")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("assign_dense_ids: data ranked per range-partition, offsets broadcast") {
     val p = plan("assign_dense_ids")
     assert(p.contains("hashpartitioning(pid"),
