@@ -117,6 +117,49 @@ object RobustStats {
           col("m.p").as("mode_priority"),
           (-col("m.neg")).as("cnt"))
         .orderBy("o_orderstatus")
+    },
+
+    // X76: shuffle-key skew diagnostic — the distribution of rows per
+    // key for the keys a pipeline actually shuffles on (join keys,
+    // groupBy keys), as the operational report every 100 TB job runs
+    // when a straggler appears: key count, rows/key percentiles, the
+    // hottest key's share, and the max/avg skew ratio that decides
+    // whether AQE skew-split or salting (Skew.saltedJoin) is needed.
+    // One hash agg to |keys| rows per audited key, then a single exact
+    // percentile aggregation over that (small) count table.
+    Q("skew_diagnostic",
+      """WITH a AS (
+        |  SELECT 'lineitem.l_partkey' AS key_col, count(*) AS c
+        |  FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'events.user_id', count(*) FROM events GROUP BY user_id)
+        |SELECT key_col,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS total_rows,
+        |  round(CAST(SUM(c) AS DOUBLE) / count(*), 9) AS avg_rows,
+        |  round(quantile_cont(c, 0.5), 9) AS p50,
+        |  round(quantile_cont(c, 0.9), 9) AS p90,
+        |  round(quantile_cont(c, 0.99), 9) AS p99,
+        |  CAST(max(c) AS BIGINT) AS max_rows,
+        |  round(CAST(max(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / count(*)), 9) AS skew_ratio
+        |FROM a GROUP BY key_col ORDER BY key_col""".stripMargin) { (s, d) =>
+      def keyCounts(df: org.apache.spark.sql.DataFrame, key: String, lbl: String) =
+        df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .select(lit(lbl).as("key_col"), col("c"))
+      keyCounts(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+        .union(keyCounts(Tables.events(s, d), "user_id", "events.user_id"))
+        .groupBy("key_col")
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("total_rows"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 9).as("avg_rows"),
+          round(expr("percentile(c, 0.5)"), 9).as("p50"),
+          round(expr("percentile(c, 0.9)"), 9).as("p90"),
+          round(expr("percentile(c, 0.99)"), 9).as("p99"),
+          max(col("c")).as("max_rows"),
+          round(max(col("c")).cast("double")
+            / (sum(col("c")).cast("double") / count(lit(1))), 9).as("skew_ratio"))
+        .orderBy("key_col")
     }
   )
 }
