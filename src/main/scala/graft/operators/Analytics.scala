@@ -495,6 +495,55 @@ object Analytics {
         .agg(sum(rev.cast(DecimalType(28, 4))).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q2-style: correlated scalar MIN — the (part, supplier)
+    // rows achieving that part's own minimum price. Catalyst
+    // decorrelates the per-part min into an aggregate + join on
+    // l_partkey; no arithmetic beyond the min itself, so the compare
+    // is raw stored doubles (bit-identical both engines). The part
+    // filter stands in for Q2's region cut and bounds the output.
+    Q("tpch_q2ish",
+      """SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+        |FROM lineitem l
+        |WHERE l.l_partkey < 200 AND l.l_extendedprice = (
+        |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+              |FROM lineitem l
+              |WHERE l.l_partkey < 200 AND l.l_extendedprice = (
+              |  SELECT min(l2.l_extendedprice) FROM lineitem l2
+              |  WHERE l2.l_partkey = l.l_partkey)
+              |ORDER BY l_partkey, l_suppkey""".stripMargin)
+    },
+
+    // TPC-H Q11-style: group HAVING against a GLOBAL scalar — suppliers
+    // whose lineitem value exceeds 1.05× the average supplier value.
+    // The threshold is scale-FREE (relative to the average, not a fixed
+    // fraction of the total as in literal Q11 — a fixed fraction goes
+    // degenerate as the supplier count scales). The global scalar is
+    // computed once over the |suppliers|-row aggregate and broadcast;
+    // exact DECIMAL sums, one identical double formula.
+    Q("tpch_q11ish",
+      """WITH sv AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, round(val, 2) AS supplier_value
+        |FROM sv
+        |WHERE val > (SELECT 1.05 * (CAST(SUM(CAST(val AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)) FROM sv)
+        |ORDER BY supplier_value DESC, l_suppkey""".stripMargin) { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""WITH sv AS (
+              |  SELECT l_suppkey,
+              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+              |  FROM lineitem GROUP BY l_suppkey)
+              |SELECT l_suppkey, round(val, 2) AS supplier_value
+              |FROM sv
+              |WHERE val > (SELECT 1.05 * (CAST(SUM(CAST(val AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)) FROM sv)
+              |ORDER BY supplier_value DESC, l_suppkey""".stripMargin)
     }
   )
 }

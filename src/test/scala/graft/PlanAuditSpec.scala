@@ -63,6 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val q20 = plan("tpch_q20ish")
     assert(!q20.contains("CartesianProduct"),
       "nested IN must become semi joins, never a cartesian")
+    val q2 = plan("tpch_q2ish")
+    assert(!q2.contains("CartesianProduct") && !q2.contains("BroadcastNestedLoopJoin"),
+      "correlated MIN must decorrelate to an equi-join on l_partkey")
+    assert(q2.contains("partial_min"),
+      "per-part min must be a map-side-combined aggregate")
     assert(q20.contains("LeftSemi"), "IN list must plan as a semi join")
     val q21 = plan("tpch_q21ish")
     assert(!q21.contains("CartesianProduct") && !q21.contains("BroadcastNestedLoopJoin"),
