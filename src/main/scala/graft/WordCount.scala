@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Physical, TextPipeline}
+import graft.sources.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Drop-in CLI for the reference job (reference/WordCount.java:129-160,
+  * `hadoop jar wc.jar WordCount <input> <output> [n]`):
+  *
+  * {{{
+  *   spark-submit --class graft.WordCount graft.jar \
+  *     <input-text-dir> <output-dir> [n=3] [numParts=7]
+  * }}}
+  *
+  * Same lifecycle, Spark-native: text files in → normalize → tokenize →
+  * n-gram windows (the codegen'd [[graft.functions.NGramsExpr]], n=1 is
+  * the word-count fast path) → partial+final count (Spark's map-side
+  * combine = the reference's combiner) → first-char range placement
+  * ([[Physical.referencePlacement]], bit-faithful to WCPartitioner's
+  * integer-division math) → per-partition sort → `key\tcount` TSV part
+  * files, one per bucket, which concatenate to a globally sorted file —
+  * byte-compatible with the reference's reducer outputs.
+  *
+  * A user of the reference switches by replacing the `hadoop jar`
+  * invocation; input/output dirs and the optional n keep their meaning
+  * (numParts generalizes the reference's hardcoded reducer count).
+  */
+object WordCount {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: WordCount <input-text-dir> <output-dir> [n=3] [numParts=7]")
+    val Array(input, output) = args.take(2)
+    val n = if (args.length >= 3) args(2).toInt else 3
+    val numParts = if (args.length >= 4) args(3).toInt else 7
+    require(n >= 1 && numParts >= 1)
+    // inherits the submit-time master/conf; standalone local runs get
+    // sane defaults without overriding a provided session
+    val spark = SparkSession.builder()
+      .appName(s"graft-wordcount-n$n")
+      .getOrCreate()
+    val counts = TextPipeline.ngramCountUnsorted(spark.read.text(input), "value", n)
+    Sinks.writeTsv(
+      counts
+        .repartition(numParts, Physical.referencePlacement(col("ngram"), numParts))
+        .sortWithinPartitions("ngram"),
+      output)
+  }
+}

@@ -55,6 +55,14 @@ object Physical {
       when(bucketCol === i, lit(bucketSentinel(i, n))).otherwise(acc)
     }
 
+  /** Public form of the reference's WCPartitioner placement: pass to
+    * `repartition(n, referencePlacement(key, n))` to land first-char
+    * bucket i in physical partition i exactly — part files then
+    * concatenate to a global sort (the reference's output contract).
+    * Used by the layout query below and the [[graft.WordCount]] CLI. */
+  def referencePlacement(keyCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    sentinelOf(FirstCharPartitioner(keyCol, n), n)
+
   /** G18+: write `df` as a bucketed, per-bucket-sorted parquet table —
     * the persisted form of a co-located join side. Two tables bucketed
     * by the same key into the same bucket count join WITHOUT any

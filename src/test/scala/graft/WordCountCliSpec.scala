@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end test of the [[WordCount]] CLI — the reference's
+  * `hadoop jar wc.jar WordCount input output [n]` invocation replayed
+  * through spark-submit semantics: raw text in, `key\tcount` TSV part
+  * files out, concatenating (in part order) to a global sort. */
+class WordCountCliSpec extends AnyFunSuite {
+  // the CLI's getOrCreate() must find the shared test session
+  lazy val spark = SparkTestSession.spark
+
+  private def partLines(dir: String): Seq[Seq[String]] =
+    Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .map(p => Files.readAllLines(p).asScala.toSeq)
+
+  test("CLI replays the reference's clam/cram example byte-for-byte") {
+    spark // force session init before main()'s getOrCreate
+    val in = Files.createTempDirectory("graft-cli-in")
+    val out = Files.createTempDirectory("graft-cli-out").resolve("run").toString
+    Files.write(in.resolve("input.txt"),
+      "How can a clam cram in a clean cream can?".getBytes)
+    WordCount.main(Array(in.toString, out, "3", "7"))
+    val parts = partLines(out)
+    // reference/report.md:77-90 — the published 3-gram output
+    assert(parts.flatten == Seq(
+      "a clam cram\t1", "a clean cream\t1", "can a clam\t1", "clam cram in\t1",
+      "clean cream can\t1", "cram in a\t1", "how can a\t1", "in a clean\t1"),
+      "concatenated parts must equal the reference's sorted output")
+    // and the layout is real: keys spread over first-char buckets
+    // (a/c in low buckets, h/i higher), each part internally sorted
+    // (partition-level contract, not just the concat)
+    assert(parts.count(_.nonEmpty) >= 2)
+    parts.foreach(p => assert(p == p.sorted))
+  }
+
+  test("CLI n=1 word-count fast path with default partitioning") {
+    spark
+    val in = Files.createTempDirectory("graft-cli-in1")
+    val out = Files.createTempDirectory("graft-cli-out1").resolve("run").toString
+    Files.write(in.resolve("a.txt"), "b a a\nc b a".getBytes)
+    WordCount.main(Array(in.toString, out, "1"))
+    assert(partLines(out).flatten == Seq("a\t3", "b\t2", "c\t1"))
+  }
+}
