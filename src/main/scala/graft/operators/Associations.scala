@@ -119,9 +119,12 @@ object Associations {
     // MinSupport baskets. Support is ANTI-MONOTONE (a frequent triple's
     // sub-pairs are all frequent), so the result needs no pair check —
     // but the SCALE path exploits it: items are pre-pruned to those in
-    // ≥ MinSupport baskets (broadcast semi-join against the small
-    // frequent-item set) BEFORE the cubic per-basket expansion, the
-    // classic Apriori candidate cut. Per-basket work is cubic in
+    // ≥ MinSupport baskets (broadcast semi-join against the frequent-
+    // item set — small because production min-support thresholds prune
+    // the long tail; at a degenerate threshold where the frequent set
+    // approaches |items|, drop the hint and let AQE pick the join)
+    // BEFORE the cubic per-basket expansion, the classic Apriori
+    // candidate cut. Per-basket work is cubic in
     // (pruned) basket size only; the joins key on the high-cardinality
     // basket id.
     Q("frequent_triples",
@@ -144,7 +147,7 @@ object Associations {
       val freqItems = lp.groupBy("l_partkey")
         .agg(count(lit(1)).as("n")).filter(col("n") >= MinSupport)
         .select("l_partkey")
-      val fp = lp.join(freqItems, "l_partkey")
+      val fp = lp.join(broadcast(freqItems), "l_partkey")
       fp.as("a")
         .join(fp.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

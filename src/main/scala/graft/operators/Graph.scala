@@ -272,12 +272,16 @@ object Graph {
         .union(e.select(col("pb").as("src"), col("pa").as("dst")))
       val two = sym.as("e1").join(sym.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-      val oneHop = sym.groupBy("src").agg(countDistinct(col("dst")).as("n_1hop"))
-      val reach = sym.union(two)
+      // ONE conditional aggregation (the X56 pattern): direct edges ride
+      // tagged through the union, so 1-hop and ≤2-hop distinct counts
+      // come out of a single origin-keyed shuffle — not two aggregations
+      // plus a |nodes|-row join
+      sym.select(col("src"), col("dst"), lit(true).as("direct"))
+        .union(two.select(col("src"), col("dst"), lit(false).as("direct")))
         .filter(col("dst") =!= col("src"))
-        .groupBy("src").agg(countDistinct(col("dst")).as("n_2hop"))
-      oneHop.join(reach, "src")
-        .select(col("src").as("node"), col("n_1hop"), col("n_2hop"))
+        .groupBy(col("src").as("node"))
+        .agg(countDistinct(when(col("direct"), col("dst"))).as("n_1hop"),
+          countDistinct(col("dst")).as("n_2hop"))
         .orderBy("node")
     }
   )

@@ -132,9 +132,10 @@ object Sequences {
     // the shuffle after the one daily aggregation carries |days|×7
     // KILOBYTE sketches, and any window width / ad-hoc date range is a
     // re-merge of the same persisted sketch table, no event rescan.
-    // Estimates, so no SQL oracle — SequencesSpec bounds the relative
-    // error against the exact X56 query (DataSketches HLL, lgK=12,
-    // ~1.6% typical). Dead days stay on the spine with estimate 0.
+    // Estimates, so no SQL oracle — CmsSpec (the sketch-family suite)
+    // bounds the relative error against the exact X56 query
+    // (DataSketches HLL, lgK=12, ~1.6% typical). Dead days stay on the
+    // spine with estimate 0.
     Q.noOracle("hll_rolling_users") { (s, d) =>
       val daily = Tables.events(s, d)
         .select(col("ts").cast("date").as("day"), col("user_id"))

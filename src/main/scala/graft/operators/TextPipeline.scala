@@ -20,17 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
-  /** The reusable operator: n-gram frequencies of a string column. */
-  /** Counts without the final global sort — for callers that impose
-    * their own layout (the [[graft.WordCount]] CLI range-partitions and
-    * sorts within partitions; a global ORDER BY first would just be a
-    * discarded extra shuffle). */
+  /** N-gram counts without the final global sort — for callers that
+    * impose their own layout (the [[graft.WordCount]] CLI
+    * range-partitions and sorts within partitions; a global ORDER BY
+    * first would just be a discarded extra shuffle). */
   def ngramCountUnsorted(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs
       .select(explode(TextFns.ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
 
+  /** The reusable operator: globally sorted n-gram frequencies of a
+    * string column. */
   def ngramCount(docs: DataFrame, textCol: String, n: Int): DataFrame =
     ngramCountUnsorted(docs, textCol, n).orderBy("ngram")
 

@@ -17,11 +17,7 @@ class SinkSpec extends AnyFunSuite {
   private def tmp(name: String) =
     Files.createTempDirectory(s"graft-$name").resolve("out").toString
 
-  private def partLines(dir: String): Seq[Seq[String]] =
-    Files.list(Paths.get(dir)).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
-      .map(p => Files.readAllLines(p).asScala.toSeq)
+  import SparkTestSession.partLines
 
   test("TSV sink: golden clam/cram output, tab-separated, globally sorted") {
     val counts = TextPipeline.ngramCount(

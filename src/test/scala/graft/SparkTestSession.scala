@@ -33,6 +33,16 @@ object SparkTestSession {
     }
   }
 
+  /** Lines of each `part-*` file in `dir`, in filename order — the
+    * "concatenate the reducer outputs" view both sink suites assert on. */
+  def partLines(dir: String): Seq[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .map(p => java.nio.file.Files.readAllLines(p).asScala.toSeq)
+  }
+
   /** Poll `read` until it returns the same value for `stableFor`
     * consecutive 100 ms intervals — listener-bus delivery is async and
     * bursty, so a single quiet interval is not proof of drain. */

@@ -11,12 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WordCountCliSpec extends AnyFunSuite {
   // the CLI's getOrCreate() must find the shared test session
   lazy val spark = SparkTestSession.spark
-
-  private def partLines(dir: String): Seq[Seq[String]] =
-    Files.list(Paths.get(dir)).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
-      .map(p => Files.readAllLines(p).asScala.toSeq)
+  import SparkTestSession.partLines
 
   test("CLI replays the reference's clam/cram example byte-for-byte") {
     spark // force session init before main()'s getOrCreate
