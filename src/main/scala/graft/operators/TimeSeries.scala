@@ -183,6 +183,56 @@ object TimeSeries {
           round((col("revenue") - lag(col("revenue"), 12).over(w))
             / lag(col("revenue"), 12).over(w), 9).as("yoy"))
         .orderBy("month")
+    },
+
+    // X77: per-user inter-event gap statistics — median / p90 / mean
+    // seconds between consecutive events, the cadence features behind
+    // churn models and session-gap tuning (X38's longitudinal family).
+    // One user-keyed window (lag over the unique (ts, event_id) order)
+    // derives gaps scan-side in exact integer MICROS (unix_micros ↔
+    // epoch_us — the events-nanos parity rule). Median/p90 are
+    // DISCRETE (index-selected actual gaps, lower-median convention) —
+    // interpolated quantile_cont/percentile differ by FP-association
+    // ulps on 1e10-magnitude micros and flip 6-dp roundings (measured),
+    // while index selection is pure integer math; ties share a value,
+    // so no tiebreak is needed for value-determinism. Mean = exact
+    // integer sum ÷ count; /1e6 at display is the same IEEE op both
+    // engines.
+    Q("inter_event_gaps",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, gap_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT user_id,
+        |  CAST(max(n) AS BIGINT) AS n_gaps,
+        |  round(CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS DOUBLE) / 1e6, 6) AS median_gap_s,
+        |  round(CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN gap_us END) AS DOUBLE) / 1e6, 6) AS p90_gap_s,
+        |  round((CAST(SUM(gap_us) AS DOUBLE) / max(n)) / 1e6, 6) AS mean_gap_s
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wg = Window.partitionBy("user_id").orderBy(col("gap_us"))
+      val wn = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .select(col("user_id"), col("gap_us"),
+          row_number().over(wg).as("rn"), count(lit(1)).over(wn).as("n"))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_gaps"),
+          round(max(when(col("rn") === expr("(n + 1) div 2"), col("gap_us")))
+            .cast("double") / 1e6, 6).as("median_gap_s"),
+          round(max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"), col("gap_us")))
+            .cast("double") / 1e6, 6).as("p90_gap_s"),
+          round((sum(col("gap_us")).cast("double") / max(col("n"))) / 1e6, 6)
+            .as("mean_gap_s"))
+        .orderBy("user_id")
     }
   )
 }

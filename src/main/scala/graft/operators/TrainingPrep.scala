@@ -255,6 +255,45 @@ object TrainingPrep {
           round((x - col("s1") / col("n"))
             / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 9).as("x_z"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X78: group-mean null imputation — fill a feature's missing values
+    // with its stratum's mean, flagging imputed rows (the fill step
+    // before X54's scaling in any tabular training pipeline; the flag
+    // column is itself a standard model feature). Missingness is
+    // derived deterministically (keys ≡ 0 mod 7 → NULL) so both
+    // engines impute identical inputs. Group means come from one
+    // aggregation over the NON-NULL values (exact DECIMAL sum ÷
+    // non-null count — SUM and count(col) skip NULLs identically in
+    // both engines) broadcast back into the scan; same two-pass
+    // no-window shape as feature_scale.
+    Q("impute_missing",
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS q
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) / count(q) AS mean_q
+        |  FROM w GROUP BY l_returnflag)
+        |SELECT w.l_orderkey, w.l_linenumber, w.l_returnflag,
+        |  round(coalesce(CAST(q AS DOUBLE), mean_q), 6) AS q_imputed,
+        |  (q IS NULL) AS was_imputed
+        |FROM w JOIN m ON w.l_returnflag = m.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val withNulls = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("l_quantity")).as("q"))
+      val means = withNulls.groupBy("l_returnflag")
+        .agg((sum(col("q").cast(DecimalType(18, 2))).cast("double")
+          / count(col("q"))).as("mean_q"))
+      withNulls.join(broadcast(means), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(coalesce(col("q").cast("double"), col("mean_q")), 6).as("q_imputed"),
+          col("q").isNull.as("was_imputed"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }
