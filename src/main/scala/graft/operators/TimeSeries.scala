@@ -195,9 +195,12 @@ object TimeSeries {
     // interpolated quantile_cont/percentile differ by FP-association
     // ulps on 1e10-magnitude micros and flip 6-dp roundings (measured),
     // while index selection is pure integer math; ties share a value,
-    // so no tiebreak is needed for value-determinism. Mean = exact
-    // integer sum ÷ count; /1e6 at display is the same IEEE op both
-    // engines.
+    // so no tiebreak is needed for value-determinism. The gap TOTAL is
+    // reported as the exact integer micros sum rather than a rounded
+    // mean: a divided mean landed exactly on a 6-dp rounding half-point
+    // at sf0.1, where Spark's decimal-string HALF_UP and DuckDB's
+    // binary rounding disagree (measured) — the reader derives the
+    // mean as total/n without the engine-dependent boundary.
     Q("inter_event_gaps",
       """WITH g AS (
         |  SELECT user_id,
@@ -213,7 +216,7 @@ object TimeSeries {
         |  CAST(max(n) AS BIGINT) AS n_gaps,
         |  round(CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS DOUBLE) / 1e6, 6) AS median_gap_s,
         |  round(CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN gap_us END) AS DOUBLE) / 1e6, 6) AS p90_gap_s,
-        |  round((CAST(SUM(gap_us) AS DOUBLE) / max(n)) / 1e6, 6) AS mean_gap_s
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val wg = Window.partitionBy("user_id").orderBy(col("gap_us"))
@@ -230,8 +233,7 @@ object TimeSeries {
             .cast("double") / 1e6, 6).as("median_gap_s"),
           round(max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"), col("gap_us")))
             .cast("double") / 1e6, 6).as("p90_gap_s"),
-          round((sum(col("gap_us")).cast("double") / max(col("n"))) / 1e6, 6)
-            .as("mean_gap_s"))
+          sum(col("gap_us")).as("total_gap_us"))
         .orderBy("user_id")
     }
   )
