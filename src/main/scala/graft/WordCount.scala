@@ -31,7 +31,15 @@ object WordCount {
     require(args.length >= 2,
       "usage: WordCount <input-text-dir> <output-dir> [n=3] [numParts=7]")
     val Array(input, output) = args.take(2)
-    val n = if (args.length >= 3) args(2).toInt else 3
+    // tolerant parse like the reference (reference/WordCount.java:129-136):
+    // a malformed n falls back to the default 3 with a warning, so a
+    // drop-in invocation with a bad third arg still runs
+    val n = if (args.length >= 3) {
+      scala.util.Try(args(2).toInt).getOrElse {
+        System.err.println(s"WARN: unparsable n '${args(2)}', defaulting to 3")
+        3
+      }
+    } else 3
     val numParts = if (args.length >= 4) args(3).toInt else 7
     require(n >= 1 && numParts >= 1)
     // inherits the submit-time master/conf; standalone local runs get
@@ -39,7 +47,12 @@ object WordCount {
     val spark = SparkSession.builder()
       .appName(s"graft-wordcount-n$n")
       .getOrCreate()
-    val counts = TextPipeline.ngramCountUnsorted(spark.read.text(input), "value", n)
+    // wholetext: each FILE is one document, so n-gram windows span line
+    // breaks — the reference's mapper keeps a queue across lines for
+    // exactly this (reference/WordCount.java:68-91); plain line-wise
+    // read would silently drop every cross-newline n-gram for n >= 2
+    val counts = TextPipeline.ngramCountUnsorted(
+      spark.read.option("wholetext", "true").text(input), "value", n)
     Sinks.writeTsv(
       counts
         .repartition(numParts, Physical.referencePlacement(col("ngram"), numParts))

@@ -67,8 +67,13 @@ object Associations {
     // baskets, i.e. ln(c_ab·N / (c_a·c_b)). All counts are exact
     // integers; c_ab·N and c_a·c_b stay in BIGINT (exact), so the only
     // float steps are one division and one ln, identical both engines;
-    // ranking uses the ROUNDED pmi (rrf_fusion convention) with pair-id
-    // tiebreaks so order is engine-deterministic.
+    // ranking is by the RAW lift ratio, not the rounded ln: the ratio
+    // is integer products cast exactly to double plus ONE IEEE-rounded
+    // division, so both engines compute the identical double, whereas
+    // ln() is libm (not correctly rounded) and a value ulps from a
+    // 6-dp rounding boundary could rank differently per engine. ln is
+    // monotone, so the order is the PMI order; the rounded pmi stays
+    // as the display column.
     //
     // 100 TB posture: marginals are a second hash agg over the same
     // distinct (basket, item) table; the pair⋈marginal joins key on
@@ -91,7 +96,8 @@ object Associations {
          |FROM p JOIN m ma ON part_a = ma.l_partkey
          |       JOIN m mb ON part_b = mb.l_partkey
          |       CROSS JOIN n
-         |ORDER BY pmi DESC, part_a, part_b LIMIT $TopK""".stripMargin) { (s, d) =>
+         |ORDER BY CAST(support * n_baskets AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE) DESC,
+         |  part_a, part_b LIMIT $TopK""".stripMargin) { (s, d) =>
       val lp = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pairs = lp.as("a")
@@ -107,11 +113,13 @@ object Associations {
         .join(marg.select(col("l_partkey").as("part_a"), col("c").as("c_a")), "part_a")
         .join(marg.select(col("l_partkey").as("part_b"), col("c").as("c_b")), "part_b")
         .crossJoin(broadcast(n))
-        .select(col("part_a"), col("part_b"), col("support"),
-          round(log((col("support") * col("n_baskets")).cast("double")
-            / (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("part_a"), col("part_b"))
+        .withColumn("lift_ratio",
+          (col("support") * col("n_baskets")).cast("double")
+            / (col("c_a") * col("c_b")).cast("double"))
+        .orderBy(col("lift_ratio").desc, col("part_a"), col("part_b"))
         .limit(TopK)
+        .select(col("part_a"), col("part_b"), col("support"),
+          round(log(col("lift_ratio")), 6).as("pmi"))
     },
 
     // X69: frequent triples — the Apriori level-3 step past the pair

@@ -39,8 +39,6 @@ class LexiconSpec extends AnyFunSuite {
       assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
       // the top-10 vocab over a 31-word corpus leaves a real OOV tail
       assert(out.filter(col("n_oov") > 0).count() > 0, "vocab covers everything — OOV test is vacuous")
-      assert(out.filter(col("n_oov") === 0).count() === 0 ||
-        out.filter(col("n_oov") > 0).count() > 0)
     } finally out.unpersist()
   }
 

@@ -33,6 +33,28 @@ class WordCountCliSpec extends AnyFunSuite {
     parts.foreach(p => assert(p == p.sorted))
   }
 
+  test("n-grams span line breaks within a file (reference mapper queue)") {
+    spark
+    val in = Files.createTempDirectory("graft-cli-inml")
+    val out = Files.createTempDirectory("graft-cli-outml").resolve("run").toString
+    // reference/WordCount.java:68-91 keeps a queue across readLine()
+    // calls so "b c" exists even though b and c sit on different lines
+    Files.write(in.resolve("book.txt"), "a b\nc d".getBytes)
+    WordCount.main(Array(in.toString, out, "2"))
+    assert(partLines(out).flatten == Seq("a b\t1", "b c\t1", "c d\t1"),
+      "cross-newline bigram 'b c' must be counted — wholetext document scope")
+  }
+
+  test("malformed n falls back to 3 like the reference CLI") {
+    spark
+    val in = Files.createTempDirectory("graft-cli-inbad")
+    val out = Files.createTempDirectory("graft-cli-outbad").resolve("run").toString
+    Files.write(in.resolve("input.txt"), "x y z w".getBytes)
+    // reference/WordCount.java:129-136 catches the parse failure → n=3
+    WordCount.main(Array(in.toString, out, "not-a-number"))
+    assert(partLines(out).flatten == Seq("x y z\t1", "y z w\t1"))
+  }
+
   test("CLI n=1 word-count fast path with default partitioning") {
     spark
     val in = Files.createTempDirectory("graft-cli-in1")
