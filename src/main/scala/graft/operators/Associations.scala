@@ -27,17 +27,45 @@ object Associations {
   /** Canonicalized (part_a < part_b) co-order pair support counts —
     * the ONE definition of the co-occurrence pair table, shared by
     * cooccur_parts and the Graph triangle suite (which consumes pairs
-    * at support ≥ [[MinSupport]] as its edge set). */
+    * at support ≥ [[MinSupport]] as its edge set). Persisted through
+    * [[graft.Indexes]]: the basket self-join runs once per
+    * (session, scale factor); the five downstream queries read the
+    * bucketed artifact. */
   private[operators] def pairSupport(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("support"))
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Indexes.table(s, d, "coorder_pairs", Seq("part_a")) {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+    }
+
+  /** Distinct (basket, item) incidence — the PMI/Apriori base table
+    * (per-basket DISTINCT, unlike [[pairSupport]]'s multiplicative
+    * pairs). Bucketed on l_partkey: the marginal count and the
+    * frequent-item semi-join both key on it. */
+  private[operators] def basketItems(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Indexes.table(s, d, "coorder_lp", Seq("l_partkey")) {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    }
+
+  /** Basket-level (distinct) pair support over [[basketItems]] — the
+    * PMI numerator table. */
+  private[operators] def basketPairSupport(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Indexes.table(s, d, "coorder_bpairs", Seq("part_a")) {
+      val lp = basketItems(s, d)
+      lp.as("a")
+        .join(lp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+    }
 
   def all: Seq[Q] = Seq(
 
@@ -98,15 +126,8 @@ object Associations {
          |       CROSS JOIN n
          |ORDER BY CAST(support * n_baskets AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE) DESC,
          |  part_a, part_b LIMIT $TopK""".stripMargin) { (s, d) =>
-      val lp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = lp.as("a")
-        .join(lp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= MinSupport)
+      val lp = basketItems(s, d)
+      val pairs = basketPairSupport(s, d).filter(col("support") >= MinSupport)
       val marg = lp.groupBy("l_partkey").agg(count(lit(1)).as("c"))
       val n = lp.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
       pairs
@@ -150,8 +171,7 @@ object Associations {
          |GROUP BY part_a, part_b, part_c HAVING count(*) >= $MinSupport
          |ORDER BY support DESC, part_a, part_b, part_c
          |LIMIT $TopK""".stripMargin) { (s, d) =>
-      val lp = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val lp = basketItems(s, d)
       val freqItems = lp.groupBy("l_partkey")
         .agg(count(lit(1)).as("n")).filter(col("n") >= MinSupport)
         .select("l_partkey")

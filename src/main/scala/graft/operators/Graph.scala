@@ -59,14 +59,15 @@ object Graph {
           lit(Damping) * col("s").cast("double")).as("r"))
 
   /** Part co-order edge set: the X47 pair table (Associations — one
-    * shared definition of the pair generator) at support ≥ MinSupport,
-    * canonicalized pa < pb, checkpointed once — it feeds multiple join
-    * branches in the triangle queries. */
+    * shared definition of the pair generator, persisted through
+    * [[graft.Indexes]]) at support ≥ MinSupport, canonicalized
+    * pa < pb. The multiple join branches in the triangle queries each
+    * scan the bucketed artifact — no per-query rebuild, no checkpoint
+    * copy. */
   private def coorderEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Associations.pairSupport(s, d)
       .filter(col("support") >= Associations.MinSupport)
       .select(col("part_a").as("pa"), col("part_b").as("pb"))
-      .localCheckpoint()
 
   /** Node degrees over the undirected edge set. */
   private def nodeDegrees(e: DataFrame): DataFrame =

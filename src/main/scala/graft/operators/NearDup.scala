@@ -36,15 +36,25 @@ object NearDup {
   }
 
   /** Banded-LSH candidate pairs + signature-agreement similarity
-    * estimate, thresholded. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * estimate, thresholded. With `idx` set (plus a name for the doc
+    * corpus variant), the signature table persists as an
+    * [[graft.Indexes]] artifact shared across queries. */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+                   corpusName: String = "docs"): DataFrame = {
     // Materialize signatures once: they feed three plan branches (the
     // bucket-size guard plus both sides of the band self-join), which
     // would each re-run the shingle-explode × K-hash × UDAF pipeline —
-    // the expensive part of the whole query. Same pattern as
-    // Similarity.vectorsAndPostings; a persisted signature table at
-    // cluster scale.
-    val sigs = minhashSignatures(docs).localCheckpoint()
+    // the expensive part of the whole query. Persisted signature table
+    // when indexed (minhash_near_dup_pairs and minhash_calibration
+    // share the build); per-query checkpoint otherwise.
+    val sigs = idx match {
+      case Some((s, d)) =>
+        graft.Indexes.table(s, d, s"minhash_sigs_$corpusName", Seq("doc_id")) {
+          minhashSignatures(docs)
+        }
+      case None => minhashSignatures(docs).localCheckpoint()
+    }
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         i => struct(i.as("band"), xxhash64(slice(col("sig"), i * R + 1, lit(R))).as("bsig")))).as("b"))
@@ -123,8 +133,11 @@ object NearDup {
     * the unblocked scale path (candidates = same (table, bucket),
     * verify = exact cosine). Approximate: recall vs the exact form is
     * what NearDupSpec asserts. */
-  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
-    val pairs = Similarity.lshCandidatePairs(emb)
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+                          idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
+    // distinct corpusTag: this postings table is over the PLANTED-dup
+    // corpus, not the raw embeddings ann_lsh_topk indexes
+    val pairs = Similarity.lshCandidatePairs(emb, idx = idx, corpusTag = "planted")
     pairs.filter(col("cos") >= threshold)
   }
 
@@ -163,7 +176,8 @@ object NearDup {
     // X2: banded-LSH near-dup pairs over docs ∪ planted 80%-truncated
     // copies (threshold 0.5 keeps the planted pairs, estimator ≈ 0.8).
     Q.noOracle("minhash_near_dup_pairs") { (s, d) =>
-      minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5)
+      minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5,
+          idx = Some((s, d)), corpusName = "planted")
         .orderBy("id1", "id2")
     }.copy(headline = true),
 
@@ -181,7 +195,9 @@ object NearDup {
     // K=32 theory (σ ≤ √(J(1−J)/32) ≈ 0.09).
     Q.noOracle("minhash_calibration") { (s, d) =>
       val docs = withPlantedDups(Tables.documents(s, d))
-      val cand = minhashPairs(docs, 0.0)
+      // same signature artifact as minhash_near_dup_pairs (threshold is
+      // applied downstream of the signature table)
+      val cand = minhashPairs(docs, 0.0, idx = Some((s, d)), corpusName = "planted")
       val grams = docs.select(col("doc_id"),
         array_distinct(TextFns.ngrams(col("text"), 3)).as("g"))
       val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
@@ -218,7 +234,8 @@ object NearDup {
     // Embedding-cosine near-dup via multi-table LSH over planted
     // perturbed copies (approximate; recall asserted in NearDupSpec).
     Q.noOracle("embedding_near_dup_lsh") { (s, d) =>
-      embeddingNearDupLsh(withPlantedEmbeddingDups(Tables.embeddings(s, d)), 0.8)
+      embeddingNearDupLsh(withPlantedEmbeddingDups(Tables.embeddings(s, d)), 0.8,
+          idx = Some((s, d)))
         .orderBy("id1", "id2")
     },
     Q.noOracle("simhash_near_dup_pairs") { (s, d) =>

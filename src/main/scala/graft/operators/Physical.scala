@@ -72,8 +72,16 @@ object Physical {
     * would persist as. */
   def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
                     key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key form (the [[graft.Indexes]] artifact writer): bucket by
+    * all keys, sort each bucket by the first — equal composite keys
+    * land in one bucket, so a join on a superset of the bucket keys
+    * reads co-partitioned buckets. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    keys: Seq[String], buckets: Int): Unit =
     df.write.format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*).sortBy(keys.head)
       .mode("overwrite").saveAsTable(table)
 
   /** X27: z-order (Morton) clustering of events by (user_id, value).

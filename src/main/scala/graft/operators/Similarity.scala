@@ -75,9 +75,14 @@ object Similarity {
   }
 
   /** Norm-annotated double vectors + (id, table, bucket) LSH postings —
-    * shared by [[annTopK]] and [[lshCandidatePairs]]. */
+    * shared by [[annTopK]] and [[lshCandidatePairs]]. With `idx` set,
+    * the postings persist as a bucketed [[graft.Indexes]] artifact
+    * (keyed by the LSH config) instead of a per-query checkpoint —
+    * build once, reused by every LSH query at that config. */
   private[operators] def vectorsAndPostings(emb: DataFrame, nPlanes: Int, nTables: Int,
-                                            seed: Long = 42L): (DataFrame, DataFrame) = {
+                                            seed: Long = 42L,
+                                            idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+                                            corpusTag: String = "emb"): (DataFrame, DataFrame) = {
     // All nTables signatures come from ONE native expression call
     // (graft.functions.LshSigsExpr): a single pass over the vector with
     // primitive-array loops, and ~10 lines of generated Java regardless
@@ -91,21 +96,26 @@ object Similarity {
     val flatPlanes = hyperplanes(nPlanes * nTables, 64, seed).flatten.toArray
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", norm2(col("v")))
-    val postings = v.select(col("vec_id"),
+    val rawPostings = v.select(col("vec_id"),
         explode(graft.functions.LshSigsEval(col("v"), flatPlanes, nPlanes, nTables)).as("b"))
       .select(col("vec_id"), col("b.t").as("lsh_t"), col("b.sig").as("lsh_sig"))
-      // Materialize the postings ONCE before callers self-join them.
-      // Both branches of the (table, bucket) self-join would otherwise
-      // carry their own copy of the signature subtree — the unrolled
-      // hyperplane dots get planned and Janino-compiled per branch,
-      // measured at ~80% of embedding_near_dup_lsh / ann_lsh_topk time
-      // in rounds 2–3. After the checkpoint both branches scan the same
-      // computed blocks: one signature pass, one compile. (Postings are
-      // 3 longs/row × nTables — tiny next to the vectors. At cluster
-      // scale this is a persisted/bucketed postings TABLE, written once
-      // and reused across queries; localCheckpoint is the single-job
-      // equivalent.)
-      .localCheckpoint()
+    val postings = idx match {
+      case Some((s, d)) =>
+        // the promised "persisted/bucketed postings TABLE, written once
+        // and reused across queries" — bucketed on the candidate-join
+        // keys so the (table, bucket) self-join reads co-partitioned
+        // buckets
+        graft.Indexes.table(s, d, s"lsh_${corpusTag}_p${nPlanes}_t${nTables}_s$seed",
+          Seq("lsh_t", "lsh_sig")) { rawPostings }
+      case None =>
+        // Index-less callers (specs, sweeps) still materialize ONCE
+        // before the self-join: both branches of the (table, bucket)
+        // self-join would otherwise carry their own copy of the
+        // signature subtree — planned and Janino-compiled per branch,
+        // measured at ~80% of LSH query time in rounds 2–3. After the
+        // checkpoint both branches scan the same computed blocks.
+        rawPostings.localCheckpoint()
+    }
     (v, postings)
   }
 
@@ -113,7 +123,9 @@ object Similarity {
     * exact cosine attached (the verify step). The pair join is bucket-
     * local — never all-pairs — and the distinct collapses multi-table
     * collisions before the (expensive) vector re-attach. */
-  def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+  def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 8, nTables: Int = 8,
+                        idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+                        corpusTag: String = "emb"): DataFrame = {
     // Near-dup defaults differ from annTopK's (6×24): pair mining only
     // has to catch HIGH-cosine pairs (≈0.93 planted dups → per-plane
     // sign agreement ≈0.88, per-table 0.88⁸≈0.36, miss over 8 tables
@@ -121,7 +133,7 @@ object Similarity {
     // table) and cut candidate-pair volume ~10× vs the top-k config,
     // whose 0.5-recall target on mid-cosine neighbors needs the wider
     // 6-bit buckets and heavier OR amplification.
-    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables)
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, idx = idx, corpusTag = corpusTag)
     val a = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id1"))
     val b = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id2"))
     val cand = a.join(b, Seq("lsh_t", "lsh_sig"))
@@ -142,8 +154,9 @@ object Similarity {
     * drops from |corpus| to the matched-bucket union. Recall vs
     * [[cosineTopK]] is asserted in SimilaritySpec. */
   def annTopK(emb: DataFrame, nQ: Int, k: Int,
-              nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L): DataFrame = {
-    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, seed)
+              nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L,
+              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, seed, idx)
     val qPost = postings.filter(col("vec_id") < nQ)
       .withColumnRenamed("vec_id", "q_id")
     val cand = postings.filter(col("vec_id") >= nQ)
@@ -215,15 +228,32 @@ object Similarity {
     * uses that as a correctness control, plus a recall bound at the
     * default operating point. */
   def ivfTopK(emb: DataFrame, nQ: Int, k: Int, nClusters: Int = 12,
-              nProbe: Int = 4, iters: Int = 3): DataFrame = {
+              nProbe: Int = 4, iters: Int = 3,
+              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
     // 12/4 default picked by IvfSweep: mean top-10 recall 0.65 at a 1/3
     // probe fraction (16/4 sat at 0.49; wider probes buy recall roughly
     // linearly in candidates scanned).
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", norm2(col("v")))
     val corpus = v.filter(col("vec_id") >= nQ)
-    val cents = kmeansCentroids(corpus, nClusters, iters)
-    val postings = assignClusters(corpus, cents)
+    // with `idx`, the trained coarse quantizer and its postings list
+    // persist as Indexes artifacts — k-means runs once per
+    // (scale factor, config), every later probe reads the saved index
+    val cfg = s"k${nClusters}_i${iters}_q$nQ"
+    val cents = idx match {
+      case Some((s, d)) =>
+        graft.Indexes.table(s, d, s"ivf_cents_$cfg", Nil) {
+          kmeansCentroids(corpus, nClusters, iters)
+        }
+      case None => kmeansCentroids(corpus, nClusters, iters)
+    }
+    val postings = idx match {
+      case Some((s, d)) =>
+        graft.Indexes.table(s, d, s"ivf_post_$cfg", Seq("cluster")) {
+          assignClusters(corpus, cents)
+        }
+      case None => assignClusters(corpus, cents)
+    }
     // nProbe nearest centroids per query: |queries| × k rows, tiny
     val probes = v.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
@@ -337,14 +367,14 @@ object Similarity {
     // X3 scale path: LSH-bucketed ANN (approximate — no SQL oracle;
     // recall vs the exact path is asserted in SimilaritySpec).
     Q.noOracle("ann_lsh_topk") { (s, d) =>
-      annTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+      annTopK(Tables.embeddings(s, d), nQ = 8, k = 10, idx = Some((s, d)))
     },
 
     // X3 scale path #2: IVF-bucketed ANN (approximate — no SQL oracle;
     // exactness at full probe width + recall at the default operating
     // point are asserted in SimilaritySpec).
     Q.noOracle("ann_ivf_topk") { (s, d) =>
-      ivfTopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+      ivfTopK(Tables.embeddings(s, d), nQ = 8, k = 10, idx = Some((s, d)))
     },
 
     // X31: the int8 quantizer itself, oracled code-for-code — floor-based

@@ -215,7 +215,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("cooccur_parts")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pair generation must be an equi-join on the basket id")
-    assert(p.contains("partial_count"), "support counts must combine map-side")
+    // since r5 the pair table is a persisted Indexes artifact: the
+    // query plan is a scan of the bucketed table (the map-side combine
+    // lives in the build plan, asserted equivalent in IndexesSpec)
+    assert(p.contains("graft_idx"),
+      "support counts must come from the persisted co-order pair artifact")
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 must be per-partition heaps, not a global sort")
   }
