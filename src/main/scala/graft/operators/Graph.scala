@@ -250,6 +250,46 @@ object Graph {
     // sketch with HLL beyond that — `approx_count_distinct` drops in
     // for `countDistinct` unchanged when exactness can be traded).
     Q("khop_2_reach",
+      khopSql) { (s, d) =>
+      khopTagged(coorderEdges(s, d))
+        .groupBy(col("src").as("node"))
+        .agg(countDistinct(when(col("direct"), col("dst"))).as("n_1hop"),
+          countDistinct(col("dst")).as("n_2hop"))
+        .orderBy("node")
+    },
+
+    // X68 scale valve, proven rather than promised: the same support-
+    // pruned expansion with the exact distinct counts swapped for HLL
+    // sketches (`approx_count_distinct`, rsd 2%). The Σdeg² fan-out
+    // rows still flow, but the aggregation state per node drops from a
+    // distinct-set (unbounded, spills at hub nodes) to a fixed few-KB
+    // sketch, and partial sketches merge map-side — the form that
+    // survives nodes with millions of 2-hop neighbors. KhopApproxSpec
+    // bounds the error vs the exact query at sf0.1. No SQL oracle:
+    // estimates are engine-specific by construction.
+    Q.noOracle("khop_2_reach_approx") { (s, d) =>
+      khopTagged(coorderEdges(s, d))
+        .groupBy(col("src").as("node"))
+        .agg(approx_count_distinct(when(col("direct"), col("dst")), 0.02).as("n_1hop"),
+          approx_count_distinct(col("dst"), 0.02).as("n_2hop"))
+        .orderBy("node")
+    }
+  )
+
+  /** Shared X68 expansion: symmetrized support-pruned edges, unioned
+    * with the 2-hop self-join, each row tagged `direct` so 1-hop and
+    * ≤2-hop counts come out of ONE origin-keyed aggregation. */
+  private def khopTagged(e: DataFrame): DataFrame = {
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val two = sym.as("e1").join(sym.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+    sym.select(col("src"), col("dst"), lit(true).as("direct"))
+      .union(two.select(col("src"), col("dst"), lit(false).as("direct")))
+      .filter(col("dst") =!= col("src"))
+  }
+
+  private val khopSql =
       """WITH e AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM lineitem a JOIN lineitem b
@@ -267,23 +307,5 @@ object Graph {
         |  SELECT src, count(DISTINCT dst) AS n2 FROM reach WHERE dst <> src GROUP BY src) r
         |  ON r.src = s.src
         |GROUP BY s.src, r.n2
-        |ORDER BY node""".stripMargin) { (s, d) =>
-      val e = coorderEdges(s, d)
-      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(e.select(col("pb").as("src"), col("pa").as("dst")))
-      val two = sym.as("e1").join(sym.as("e2"), col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-      // ONE conditional aggregation (the X56 pattern): direct edges ride
-      // tagged through the union, so 1-hop and ≤2-hop distinct counts
-      // come out of a single origin-keyed shuffle — not two aggregations
-      // plus a |nodes|-row join
-      sym.select(col("src"), col("dst"), lit(true).as("direct"))
-        .union(two.select(col("src"), col("dst"), lit(false).as("direct")))
-        .filter(col("dst") =!= col("src"))
-        .groupBy(col("src").as("node"))
-        .agg(countDistinct(when(col("direct"), col("dst"))).as("n_1hop"),
-          countDistinct(col("dst")).as("n_2hop"))
-        .orderBy("node")
-    }
-  )
+        |ORDER BY node""".stripMargin
 }
