@@ -81,7 +81,36 @@ object Bench {
     // n_queries rides along so the total can be normalized across
     // rounds: the registry grows every round, and a raw total compared
     // against a fixed-size baseline silently penalizes added coverage.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+
+    // Self-published artifact (VERDICT r04 task 3): the driver's stdout
+    // capture has truncated the per-query map mid-JSON in past rounds,
+    // so the COMPLETE machine-readable result is also written to the
+    // repo as BENCH_SELF_r{N}.json — N inferred as one past the newest
+    // driver-written BENCH_r{N}.json, overridable via GRAFT_BENCH_OUT.
+    try {
+      val out = sys.env.get("GRAFT_BENCH_OUT").map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val cwd = java.nio.file.Paths.get(".").toAbsolutePath
+          val re = "BENCH_r(\\d+)\\.json".r
+          val it = java.nio.file.Files.list(cwd).iterator()
+          var n = 0
+          while (it.hasNext) it.next().getFileName.toString match {
+            case re(d) => n = math.max(n, d.toInt)
+            case _ =>
+          }
+          cwd.resolve(f"BENCH_SELF_r${n + 1}%02d.json")
+        }
+      val protocol = s"""{"reps":$Reps,"aggregation":"median_of_successful",""" +
+        s""""warmup":"all tables noop-scanned, then 1 untimed run per query",""" +
+        s""""cpus":"$cpus","spark":"${spark.version}","sink":"noop"}"""
+      java.nio.file.Files.write(out,
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","protocol":$protocol,"queries":$qs}""".getBytes("UTF-8"))
+      System.err.println(s"[bench] self-published $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-publish failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
   }
 }
