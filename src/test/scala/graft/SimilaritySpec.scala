@@ -123,6 +123,42 @@ class SimilaritySpec extends AnyFunSuite {
       s"nProbe=1 recall $narrowMean !< nProbe=4 recall $mean — probing is inert")
   }
 
+  test("recall CI pins at sf0.1: LSH/IVF floors + SQ8 rank-error bound") {
+    // VERDICT r04 task 5: the RecallSweep/IvfSweep findings promoted to
+    // asserted thresholds at the BENCH scale, so a silent config
+    // regression (plane/table count, probe width, quantizer damage)
+    // red-lines here. Measured on this corpus (RecallPinProbe):
+    // lsh 0.700, ivf 0.563, sq8 0.988 / max rank displacement 1 — the
+    // floors leave margin for ulp-level k-means tie flips, nothing more.
+    val d = SparkTestSession.sf01
+    val emb01 = sources.Tables.embeddings(spark, d)
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Int)]] =
+      df.as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._2)).toSeq).toMap
+    val exact = lists(Similarity.cosineTopK(emb01, 8, 10))
+    def recall(m: Map[Long, Seq[(Long, Int)]]): Double =
+      exact.map { case (q, ids) =>
+        m.getOrElse(q, Seq.empty).map(_._1).toSet
+          .intersect(ids.map(_._1).toSet).size.toDouble / ids.size }.sum / exact.size
+    // through the persisted-index path — the form the registry queries run
+    val lsh = recall(lists(Similarity.annTopK(emb01, 8, 10, idx = Some((spark, d)))))
+    assert(lsh >= 0.6, f"sf0.1 LSH recall@10 $lsh%.3f under the 0.60 pin (was 0.700)")
+    val ivf = recall(lists(Similarity.ivfTopK(emb01, 8, 10, idx = Some((spark, d)))))
+    assert(ivf >= 0.5, f"sf0.1 IVF recall@10 $ivf%.3f under the 0.50 pin (was 0.563)")
+    val sq8 = lists(Similarity.sq8TopK(emb01, 8, 10))
+    assert(recall(sq8) >= 0.95,
+      f"sf0.1 SQ8 recall@10 ${recall(sq8)}%.3f under the 0.95 pin (was 0.988)")
+    // rank-error bound: any id in both lists may shift at most 2 ranks
+    val disp = for {
+      (q, ex) <- exact.toSeq
+      exRank = ex.toMap
+      (id, r8) <- sq8.getOrElse(q, Seq.empty)
+      re <- exRank.get(id)
+    } yield math.abs(re - r8)
+    assert(disp.nonEmpty && disp.max <= 2,
+      s"SQ8 rank displacement max ${disp.max} exceeds 2 (was 1)")
+  }
+
   test("X70 retrieval_eval: metric laws — bounds, consistency, perfect-retrieval fixpoint") {
     val rows = SparkEntry.queries("retrieval_eval")(spark, SparkTestSession.sf0001).collect()
     assert(rows.nonEmpty)
