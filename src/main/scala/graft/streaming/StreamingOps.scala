@@ -113,6 +113,25 @@ object StreamingOps {
       .parquet(s"$sfDir/events*.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** G21+: UNBOUNDED synthetic event stream from Spark's rate source —
+    * the soak-test entry for the state-store paths, where the file
+    * source's fixed backlog can't exercise long-running state growth/
+    * eviction. Shape matches the events table (ts, user_id, event_type,
+    * value) so every windowed/stateful operator consumes it unchanged;
+    * `usersPerSecond`-scale key cardinality drives real state churn. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 500, nUsers: Int = 64): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load() // (timestamp, value)
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(1000L)) / lit(100.0)).as("value"))
+
   /** G22: tumbling 1-hour windows per event type, 2-hour watermark.
     * Works unchanged on batch input (window() is the same expression). */
   def tumblingCounts(events: DataFrame): DataFrame =

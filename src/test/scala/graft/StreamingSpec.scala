@@ -89,6 +89,80 @@ class StreamingSpec extends AnyFunSuite {
       3L -> (30.0, t("2024-01-02 00:00:00"))))
   }
 
+  test("X59 crash replay: merge applied but offsets uncommitted — restart converges") {
+    // The foreachBatch crash window that matters: the side effect (the
+    // snapshot merge) COMPLETED, then the query died before committing
+    // the batch's offsets. On restart the checkpoint replays the same
+    // batch onto the already-merged snapshot. Reproduced deterministically
+    // by applying the batch through the identical code path while leaving
+    // the checkpoint untouched, then restarting the stream.
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-crash")
+    val snap = base.resolve("snapshot").toString
+    val ckpt = base.resolve("ckpt").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def snapshot(): Map[Long, (Double, Timestamp)] =
+      spark.read.parquet(snap).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getTimestamp(2))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    def runOnce(): Unit = {
+      val q = StreamingOps.cdcApplyStream(mem.toDF().toDF("k", "v", "ts"), snap, ckpt)
+      q.awaitTermination(120000)
+    }
+    mem.addData((1L, 10.0, t("2024-01-01 00:00:00")),
+      (2L, 20.0, t("2024-01-01 00:00:00")))
+    runOnce()
+    // "crash": batch 2 merged, offsets never committed
+    val b2 = Seq((2L, 25.0, t("2024-01-02 00:00:00")),
+      (3L, 30.0, t("2024-01-02 00:00:00")))
+    mem.addData(b2: _*)
+    StreamingOps.applyCdcBatch(b2.toDF("k", "v", "ts"), snap)
+    val afterCrash = snapshot()
+    // restart: checkpoint replays batch 2 onto the merged snapshot
+    runOnce()
+    val expected = Map(
+      1L -> (10.0, t("2024-01-01 00:00:00")),
+      2L -> (25.0, t("2024-01-02 00:00:00")),
+      3L -> (30.0, t("2024-01-02 00:00:00")))
+    assert(afterCrash == expected, "pre-restart snapshot should already hold the merge")
+    assert(snapshot() == expected, "replaying the interrupted batch must be a no-op")
+  }
+
+  test("G21+ rate-source soak: stateful agg makes progress and evicts state") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soak-ckpt").toString
+    val src = StreamingOps.rateEvents(spark, rowsPerSecond = 400, nUsers = 32)
+    val agg = src.withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "1 second"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("graft_soak").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      Thread.sleep(10000)
+      assert(q.isActive, s"soak query died: ${Option(q.exception).flatten}")
+      val progress = q.recentProgress
+      assert(progress.length >= 3, "expected several micro-batches over the soak window")
+      val input = progress.map(_.numInputRows).sum
+      assert(input > 0, "rate source produced no rows")
+      val stateOps = progress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "windowed agg must report state operators")
+      assert(stateOps.map(_.numRowsTotal).max > 0, "no state rows ever held")
+      // the load-bearing soak property: with a 2 s watermark over 1 s
+      // windows, old windows must be EVICTED — unbounded state growth
+      // is exactly the failure this test exists to catch
+      assert(stateOps.map(_.numRowsRemoved).sum > 0,
+        "watermark never evicted state across the soak window")
+      assert(stateOps.last.numRowsTotal < input,
+        "state rows should be far below total input after eviction")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_soak")
+    }
+  }
+
   test("G22++ stream-static enrichment: streaming (append) == batch, dims broadcast") {
     val cust = sources.Tables.customer(spark, SparkTestSession.sf0001)
     val nat = sources.Tables.nation(spark, SparkTestSession.sf0001)
