@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.TimeWindows.all ++
       operators.Analytics.all ++
+      operators.TpchMore.all ++
       operators.PiiScrub.all ++
       operators.Sampling.all ++
       operators.TrainingPrep.all ++
