@@ -42,6 +42,51 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
 
+    // X1+: PASSAGE-level exact dedup (the CCNet/paragraph-dedup shape
+    // at sub-document granularity): each doc is chunked into
+    // non-overlapping 16-token passages, passages are md5-keyed, and a
+    // passage occurring in an EARLIER doc (keep-first, min-doc_id
+    // convention as everywhere) counts as a duplicate — the per-doc
+    // profile a pipeline thresholds to drop template-heavy documents
+    // that doc-level dedup can't see.
+    //
+    // 100 TB posture: one generate (≤ tokens/16 rows per doc), one
+    // hash agg on the 16-byte passage key for the first-occurrence
+    // table, one join back keyed on the same hash — uniform keys, no
+    // windows, no text shuffled as a key. The first-occurrence table is
+    // the natural Indexes artifact once the corpus is static; left
+    // inline here because the query IS the build.
+    Q("dedup_passages",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |pass AS (
+        |  SELECT doc_id, md5(array_to_string(t[(u.i-1)*16+1 : u.i*16], ' ')) AS ph
+        |  FROM toks, unnest(range(1, len(t)//16 + 1)) AS u(i)),
+        |firsts AS (SELECT ph, min(doc_id) AS first_doc FROM pass GROUP BY ph)
+        |SELECT p.doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN p.doc_id > f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+        |FROM pass p JOIN firsts f ON f.ph = p.ph
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      val pass = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        // sequence(1, 0) would DESCEND in Spark — docs under one full
+        // passage must hit the empty-array guard, matching DuckDB's
+        // empty range(1, 1)
+        .select(col("doc_id"), explode(
+          when(size(col("t")) >= 16,
+            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
+              i => md5(array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " "))))
+            .otherwise(array().cast("array<string>"))).as("ph"))
+      val firsts = pass.groupBy("ph").agg(min(col("doc_id")).as("first_doc"))
+      pass.join(firsts, "ph")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("doc_id") > col("first_doc"), 1).otherwise(0))
+            .cast("long").as("n_dup_passages"))
+        .orderBy("doc_id")
+    },
+
     // X1: exact dedup by content hash (md5 hex identical across engines).
     Q("dedup_exact",
       """SELECT md5(text) AS content_hash,

@@ -267,7 +267,7 @@ object Graph {
 
     // X68 scale valve, proven rather than promised: the same support-
     // pruned expansion with the exact distinct counts swapped for HLL
-    // sketches (`approx_count_distinct`, rsd 2%). The Σdeg² fan-out
+    // sketches (`approx_count_distinct`, rsd 4%). The Σdeg² fan-out
     // rows still flow, but the aggregation state per node drops from a
     // distinct-set (unbounded, spills at hub nodes) to a fixed few-KB
     // sketch, and partial sketches merge map-side — the form that
@@ -277,8 +277,8 @@ object Graph {
     Q.noOracle("khop_2_reach_approx") { (s, d) =>
       khopTagged(coorderEdges(s, d))
         .groupBy(col("src").as("node"))
-        .agg(approx_count_distinct(when(col("direct"), col("dst")), 0.02).as("n_1hop"),
-          approx_count_distinct(col("dst"), 0.02).as("n_2hop"))
+        .agg(approx_count_distinct(when(col("direct"), col("dst")), 0.04).as("n_1hop"),
+          approx_count_distinct(col("dst"), 0.04).as("n_2hop"))
         .orderBy("node")
     }
   )

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** X68's documented scale valve, proven: the HLL k-hop variant must
   * track the exact counts within sketch tolerance at sf0.1 (VERDICT
-  * r04 task 2). rsd is configured at 2%; the assertions leave headroom
+  * r04 task 2). rsd is configured at 4%; the assertions leave headroom
   * (mean ≤ 5%, max ≤ 15%) so the bound red-lines real regressions —
   * a wrong expansion or a mis-wired tag — not sketch noise. */
 class KhopApproxSpec extends AnyFunSuite {
