@@ -87,6 +87,67 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // X1+ apply step: SCRUB the duplicated passages — every passage
+    // whose first occurrence lies in an earlier doc is dropped, the
+    // survivors (plus the sub-passage tail) are rejoined in original
+    // order, and the result rides as an md5 so the oracle compares the
+    // reconstructed text exactly without shipping bodies. Keep-first is
+    // corpus-level: the first doc keeps all its occurrences. Same
+    // plan shape as dedup_passages plus one ordered re-assembly
+    // aggregation (sorted struct collect — no window).
+    Q("dedup_passages_scrub",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |pass AS (
+        |  SELECT doc_id, u.i AS pi,
+        |    array_to_string(t[(u.i-1)*16+1 : u.i*16], ' ') AS ptxt,
+        |    md5(array_to_string(t[(u.i-1)*16+1 : u.i*16], ' ')) AS ph
+        |  FROM toks, unnest(range(1, len(t)//16 + 1)) AS u(i)),
+        |firsts AS (SELECT ph, min(doc_id) AS fd FROM pass GROUP BY ph),
+        |kept AS (SELECT p.doc_id, p.pi, p.ptxt FROM pass p
+        |         JOIN firsts f ON f.ph = p.ph WHERE p.doc_id = f.fd),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          array_to_string(list(ptxt ORDER BY pi), ' ') AS body
+        |        FROM kept GROUP BY doc_id),
+        |tails AS (SELECT doc_id, CAST(len(t)//16 AS BIGINT) AS n_pass,
+        |            array_to_string(t[len(t)//16*16+1 : len(t)], ' ') AS tail
+        |          FROM toks)
+        |SELECT t.doc_id,
+        |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept_passages,
+        |  t.n_pass - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_dropped_passages,
+        |  md5(trim(concat_ws(' ', coalesce(a.body, ''), t.tail))) AS scrubbed_md5
+        |FROM tails t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      val pass = toks.select(col("doc_id"), posexplode(
+          when(size(col("t")) >= 16,
+            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
+              i => array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " ")))
+            .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pi"),
+          col("col").as("ptxt"), md5(col("col")).as("ph"))
+      val firsts = pass.groupBy("ph").agg(min(col("doc_id")).as("fd"))
+      val kept = pass.join(firsts, "ph").filter(col("doc_id") === col("fd"))
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pi"), col("ptxt")))),
+            p => p.getField("ptxt")), " ").as("body"))
+      val tails = toks.select(col("doc_id"),
+        (size(col("t")) / 16).cast("long").as("n_pass"),
+        array_join(slice(col("t"), (size(col("t")) / 16).cast("int") * 16 + 1,
+          size(col("t"))), " ").as("tail"))
+      tails.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept_passages"),
+          (col("n_pass") - coalesce(col("n_kept"), lit(0L))).as("n_dropped_passages"),
+          md5(trim(concat_ws(" ", coalesce(col("body"), lit("")), col("tail"))))
+            .as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
     // X1: exact dedup by content hash (md5 hex identical across engines).
     Q("dedup_exact",
       """SELECT md5(text) AS content_hash,

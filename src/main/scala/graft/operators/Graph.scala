@@ -79,7 +79,7 @@ object Graph {
     * by the same (deg, id) key. Orientation bounds out-degree
     * O(√|E|) on any graph — the hub-safe wedge bound. Takes the degree
     * table so callers that also need degrees compute it once. */
-  private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
+  private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame =
     e.join(deg.select(col("v").as("pa"), col("deg").as("dega")), "pa")
       .join(deg.select(col("v").as("pb"), col("deg").as("degb")), "pb")
       .select(
@@ -89,8 +89,16 @@ object Graph {
           .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
             col("dega").as("ddeg"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
-      .localCheckpoint()
-  }
+
+  /** The oriented edge table as a persisted [[graft.Indexes]] artifact,
+    * bucketed on the wedge-join key: built once per (session, scale
+    * factor), read by triangle_count AND clustering_coefficient (three
+    * join branches each). */
+  private def orientedEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Indexes.table(s, d, "coorder_oriented", Seq("src")) {
+      val e = coorderEdges(s, d)
+      orientEdges(e, nodeDegrees(e))
+    }
 
   /** Each triangle exactly once as (u, v, w): wedge at center u over
     * (deg, id)-ordered out-neighbors, closed by an oriented v → w edge. */
@@ -208,9 +216,8 @@ object Graph {
         |FROM deg d LEFT JOIN tc ON tc.part = d.part
         |WHERE d.deg >= 2
         |ORDER BY coeff DESC, d.part""".stripMargin) { (s, d) =>
-      val e = coorderEdges(s, d)
-      val deg = nodeDegrees(e)
-      val tc = triangles(orientEdges(e, deg))
+      val deg = nodeDegrees(coorderEdges(s, d))
+      val tc = triangles(orientedEdges(s, d))
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
       deg.select(col("v").as("part"), col("deg")).join(tc, Seq("part"), "left")
@@ -236,8 +243,7 @@ object Graph {
         |SELECT part, count(*) AS n_triangles
         |FROM nodes GROUP BY part
         |ORDER BY n_triangles DESC, part""".stripMargin) { (s, d) =>
-      val e = coorderEdges(s, d)
-      triangles(orientEdges(e, nodeDegrees(e)))
+      triangles(orientedEdges(s, d))
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))

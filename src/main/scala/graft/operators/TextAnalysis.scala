@@ -58,6 +58,43 @@ object TextAnalysis {
 
   def all: Seq[Q] = Seq(
 
+    // X11+: unigram language-model scoring — each doc's mean token
+    // log-probability under the corpus's own unigram LM, the classic
+    // cheap perplexity proxy (rare-token soup scores low; template
+    // text scores high). Joins the token stream to its frequency table
+    // (high-cardinality key) with the corpus total as a broadcast row.
+    //
+    // Cross-engine float discipline: each ln term is one libm call on
+    // the IDENTICAL double (exact int→double casts + one IEEE
+    // division), rounded to 9 dp and accumulated as DECIMAL(28,9) so
+    // the per-doc sum is addition-order independent; ONE final
+    // division + round.
+    Q("doc_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.tok FROM toks, unnest(t) AS u(tok)),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |n AS (SELECT count(*) AS nn FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / nn), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 6) AS avg_logprob
+        |FROM tok JOIN cnt USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = tok.agg(count(lit(1)).as("nn"))
+      tok.join(cnt, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(log(col("c").cast("double") / col("nn")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // X4: TF-IDF (SURVEY.md §2b X4) — pure SQL-oracle-able.
     Q("tfidf",
       s"""WITH toks AS (
