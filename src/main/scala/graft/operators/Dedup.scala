@@ -148,6 +148,53 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // X35+: cross-source contamination matrix — for every source pair,
+    // how many distinct 16-token passages they share, plus the passage
+    // Jaccard. The corpus-governance readout behind "which crawls are
+    // copying each other" and train/eval split hygiene at passage
+    // granularity (doc-level contamination_screen can't see partial
+    // copies). Per-source DISTINCT passage sets first (hash agg), then
+    // a self-join keyed on the 16-byte passage hash — uniform keys,
+    // |sources|² only in the OUTPUT, never in the shuffle.
+    Q("source_overlap",
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT source, md5(array_to_string(t[(u.i-1)*16+1 : u.i*16], ' ')) AS ph
+        |  FROM toks, unnest(range(1, len(t)//16 + 1)) AS u(i)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_passages,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / CAST(ta.n + tb.n - count(*) AS DOUBLE), 9) AS passage_jaccard
+        |FROM sp a JOIN sp b ON b.ph = a.ph AND a.source < b.source
+        |JOIN tot ta ON ta.source = a.source
+        |JOIN tot tb ON tb.source = b.source
+        |GROUP BY source_a, source_b, ta.n, tb.n
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val sp = Tables.documents(s, d)
+        .select(col("source"), TextFns.tokens(col("text")).as("t"))
+        .select(col("source"), explode(
+          when(size(col("t")) >= 16,
+            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
+              i => md5(array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " "))))
+            .otherwise(array().cast("array<string>"))).as("ph"))
+        .distinct()
+      val tot = sp.groupBy("source").agg(count(lit(1)).as("n"))
+      sp.select(col("source").as("source_a"), col("ph"))
+        .join(sp.select(col("source").as("source_b"), col("ph")), "ph")
+        .filter(col("source_a") < col("source_b"))
+        .join(broadcast(tot.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+        .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+        .groupBy("source_a", "source_b", "na", "nb")
+        .agg(count(lit(1)).as("shared_passages"),
+          round(count(lit(1)).cast("double")
+            / (col("na") + col("nb") - count(lit(1))).cast("double"), 9).as("passage_jaccard"))
+        .select("source_a", "source_b", "shared_passages", "passage_jaccard")
+        .orderBy("source_a", "source_b")
+    },
+
     // X1: exact dedup by content hash (md5 hex identical across engines).
     Q("dedup_exact",
       """SELECT md5(text) AS content_hash,

@@ -51,6 +51,32 @@ object Windows {
         .orderBy("l_orderkey", "rn")
     },
 
+    // G14 distribution functions: percent_rank / cume_dist / nth_value
+    // over each customer's order-price distribution — the remaining
+    // window family (ranking and analytic are covered above). Both
+    // scores are integer-count-derived single divisions, identical in
+    // IEEE across engines; the window key is o_custkey
+    // (high-cardinality) with a unique (price, orderkey) sort.
+    Q("window_distribution",
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // G14 analytic: lag / lead / first / last over each customer's order
     // history (o_orderkey is unique → deterministic).
     Q("window_analytic",
