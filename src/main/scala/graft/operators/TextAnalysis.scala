@@ -95,6 +95,51 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // X11++: add-one-smoothed BIGRAM surprise — mean ln P(w_i | w_{i-1})
+    // per doc under the corpus bigram LM, the next rung of the
+    // perplexity-proxy ladder above doc_unigram_logprob (catches
+    // shuffled-token text that unigram stats cannot). Same float
+    // discipline: counts exact, one IEEE division per term, ln rounded
+    // to 9 dp, DECIMAL(28,9) order-free accumulation.
+    Q("doc_bigram_surprise",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+        |       FROM toks, unnest(range(1, len(t))) AS u(i)
+        |       WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u.tok) AS nv FROM toks, unnest(t) AS u(tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(ln((CAST(n2 AS DOUBLE) + 1) / (n1 + nv)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / count(*), 6) AS avg_logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      val bg = toks
+        .select(col("doc_id"), explode(
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("w1"),
+                element_at(col("t"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val v = toks.select(explode(col("t")).as("tok"))
+        .agg(countDistinct(col("tok")).as("nv"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(log((col("n2").cast("double") + lit(1)) / (col("n1") + col("nv"))), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // X4: TF-IDF (SURVEY.md §2b X4) — pure SQL-oracle-able.
     Q("tfidf",
       s"""WITH toks AS (
