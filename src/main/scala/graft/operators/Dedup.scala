@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The (doc_id, pi, ptxt, ph) 16-token passage table as a persisted
+    * [[graft.Indexes]] artifact — the tokenize → chunk → hash pass runs
+    * once per (session, scale factor); dedup_passages, the scrub apply
+    * step, and source_overlap all read the bucketed table (bucketed on
+    * the passage hash, the key every downstream join/agg uses). */
+  private def passageTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Indexes.table(s, d, "doc_passages", Seq("ph")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(
+          when(size(col("t")) >= 16,
+            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
+              i => array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " ")))
+            .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pi"),
+          col("col").as("ptxt"), md5(col("col")).as("ph"))
+    }
+
   /** X1a: collapse exact duplicates by content hash; keeper = min id.
     * One shuffle — and the shuffle KEY is the 16-byte hash, never the
     * full text: at 100 TB shuffling document bodies as group keys
@@ -68,16 +86,9 @@ object Dedup {
         |  CAST(sum(CASE WHEN p.doc_id > f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
         |FROM pass p JOIN firsts f ON f.ph = p.ph
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
-      val pass = Tables.documents(s, d)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        // sequence(1, 0) would DESCEND in Spark — docs under one full
-        // passage must hit the empty-array guard, matching DuckDB's
-        // empty range(1, 1)
-        .select(col("doc_id"), explode(
-          when(size(col("t")) >= 16,
-            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
-              i => md5(array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " "))))
-            .otherwise(array().cast("array<string>"))).as("ph"))
+      // sequence(1, 0) would DESCEND in Spark — the builder's
+      // empty-array guard matches DuckDB's empty range(1, 1)
+      val pass = passageTable(s, d).select("doc_id", "ph")
       val firsts = pass.groupBy("ph").agg(min(col("doc_id")).as("first_doc"))
       pass.join(firsts, "ph")
         .groupBy("doc_id")
@@ -121,13 +132,7 @@ object Dedup {
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      val pass = toks.select(col("doc_id"), posexplode(
-          when(size(col("t")) >= 16,
-            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
-              i => array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " ")))
-            .otherwise(array().cast("array<string>"))))
-        .select(col("doc_id"), (col("pos") + 1).as("pi"),
-          col("col").as("ptxt"), md5(col("col")).as("ph"))
+      val pass = passageTable(s, d)
       val firsts = pass.groupBy("ph").agg(min(col("doc_id")).as("fd"))
       val kept = pass.join(firsts, "ph").filter(col("doc_id") === col("fd"))
       val agg = kept.groupBy("doc_id")
@@ -173,13 +178,9 @@ object Dedup {
         |JOIN tot tb ON tb.source = b.source
         |GROUP BY source_a, source_b, ta.n, tb.n
         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
-      val sp = Tables.documents(s, d)
-        .select(col("source"), TextFns.tokens(col("text")).as("t"))
-        .select(col("source"), explode(
-          when(size(col("t")) >= 16,
-            transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
-              i => md5(array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " "))))
-            .otherwise(array().cast("array<string>"))).as("ph"))
+      val sp = passageTable(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("source", "ph")
         .distinct()
       val tot = sp.groupBy("source").agg(count(lit(1)).as("n"))
       sp.select(col("source").as("source_a"), col("ph"))
