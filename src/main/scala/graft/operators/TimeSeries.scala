@@ -28,6 +28,63 @@ object TimeSeries {
 
   def all: Seq[Q] = Seq(
 
+    // X40c: classical seasonal decomposition of the daily order-revenue
+    // series — trend = 7-day CENTERED moving average, seasonal = mean
+    // detrended value per weekday slot, residual = the rest. The
+    // anomaly-vs-seasonality readout every ops dashboard derives.
+    //
+    // Cross-engine discipline: the daily total and the trend window sum
+    // both accumulate as DECIMAL (order-free; windowed double sums are
+    // segment-tree-ordered in DuckDB and left-fold in Spark — NOT
+    // comparable); the weekday slot is datediff from a fixed anchor
+    // mod 7 (both engines' native dayofweek disagree on Sunday);
+    // seasonal means accumulate rounded DECIMAL(28,6) terms; residual
+    // is derived from the already-rounded display columns so both
+    // engines subtract identical doubles.
+    //
+    // 100 TB posture: the unpartitioned centered-MA window runs on the
+    // DAILY AGGREGATE — |calendar days| rows regardless of fact volume
+    // (the groupBy reduction is where the scale lives); a single-task
+    // window over a few thousand series points is the correct shape,
+    // unlike a window over raw facts.
+    Q("seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT d, dow, total,
+        |    round(CAST(SUM(CAST(total AS DECIMAL(28,4))) OVER w AS DOUBLE)
+        |      / count(*) OVER w, 6) AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT dow,
+        |    round(CAST(SUM(CAST(round(total - trend, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*), 6) AS seasonal
+        |  FROM tr GROUP BY dow)
+        |SELECT t.d, round(t.total, 6) AS total, t.trend, s.seasonal,
+        |  round(round(t.total, 6) - t.trend - s.seasonal, 6) AS residual
+        |FROM tr t JOIN seas s ON s.dow = t.dow
+        |ORDER BY t.d""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("d"),
+          (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")) % 7).as("dow"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 4))).cast("double").as("total"))
+      val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      val tr = daily.select(col("d"), col("dow"), col("total"),
+        round(sum(col("total").cast(DecimalType(28, 4))).over(w).cast("double")
+          / count(lit(1)).over(w), 6).as("trend"))
+      val seas = tr.groupBy("dow")
+        .agg(round(sum(round(col("total") - col("trend"), 6)
+          .cast(DecimalType(28, 6))).cast("double") / count(lit(1)), 6).as("seasonal"))
+      tr.join(seas, "dow")
+        .select(col("d"), round(col("total"), 6).as("total"), col("trend"), col("seasonal"),
+          round(round(col("total"), 6) - col("trend") - col("seasonal"), 6).as("residual"))
+        .orderBy("d")
+    },
+
     // X40a: rolling 7-day spend per customer — RANGE frame over event
     // time. Frame = [t − 7 days, t] INCLUSIVE on both ends in both
     // engines (Spark rangeBetween lower bound is inclusive; DuckDB RANGE
