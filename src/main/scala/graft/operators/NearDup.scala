@@ -247,6 +247,84 @@ object NearDup {
     // batch (odd ids), its single best already-ingested corpus match
     // (even ids) — candidates from shared fingerprint-band buckets (the
     // X21 blocking graph; SQL-expressible, unlike the MinHash UDAF
+    // X2+: EXACT set-similarity self-join via PREFIX FILTERING (the
+    // PPJoin family's candidate rule): order each doc's distinct
+    // 3-gram set rarest-first (global frequency asc, gram asc); two
+    // sets with Jaccard ≥ θ MUST share a gram within each set's first
+    // |s| − ⌈θ·|s|⌉ + 1 elements, so candidates are an equi-join on
+    // prefix grams only — exact (no false negatives), which is why
+    // this one IS oracle-able against brute force, unlike
+    // MinHash/SimHash. Scoped to one source so the oracle's all-pairs
+    // verify stays tractable at every sweep scale; planted truncated
+    // copies guarantee non-empty output.
+    //
+    // 100 TB posture: the join keys on individual PREFIX grams
+    // (rare-first ordering makes prefix grams low-frequency, so bucket
+    // sizes stay small — the standard ppjoin argument); exact
+    // verification touches candidates only; frequency ranking is one
+    // hash agg + sorted-struct collect per doc, no windows. A ceil on
+    // the float θ·|s| can only LENGTHEN the prefix — correctness never
+    // rides a rounding edge.
+    Q("simjoin_prefix",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+        |rt AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS r
+        |       FROM base),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT b.doc_id + 100000,
+        |    array_to_string(r[1 : greatest(3, len(r) * 4 // 5)], ' ')
+        |  FROM base b JOIN rt USING (doc_id) WHERE b.doc_id < 50),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.s, b.s)) AS li, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |  round(CAST(li AS DOUBLE) / CAST(na + nb - li AS DOUBLE), 9) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(li AS DOUBLE) / CAST(na + nb - li AS DOUBLE), 9) >= 0.6
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val theta = 0.6
+      val docs = withPlantedDups(
+        Tables.documents(s, d).filter(col("source") === "src1")
+          .select(col("doc_id"), col("text")))
+      val sh = docs
+        .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+        .filter(size(col("s")) > 0)
+      val freq = sh.select(explode(col("s")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("f"))
+      // rarest-first canonical order per doc, then the prefix explode
+      val ranked = sh.select(col("doc_id"), explode(col("s")).as("g"))
+        .join(freq, "g")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
+          count(lit(1)).as("n"))
+      val pref = ranked.select(col("doc_id"),
+          explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
+            (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      cand
+        .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
+            .as("jaccard"))
+        .filter(col("jaccard") >= theta)
+        .orderBy("id1", "id2")
+    },
+
     // blocks), scored by exact trigram Jaccard, winner by (jaccard
     // DESC, corpus id ASC).
     //
