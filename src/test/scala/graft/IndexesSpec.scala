@@ -61,6 +61,24 @@ class IndexesSpec extends AnyFunSuite {
     assert(indexed == direct, "postings artifact must not change ANN results")
   }
 
+  test("passage artifact equals an inline tokenize-chunk-hash pass") {
+    import org.apache.spark.sql.functions.{posexplode => posexp}
+    val inline = sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexp(
+        when(size(col("t")) >= 16,
+          transform(sequence(lit(1), (size(col("t")) / 16).cast("int")),
+            i => array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pi"), md5(col("col")).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    SparkEntry.queries("dedup_passages")(spark, sf0001).collect() // force build
+    val persisted = spark.table(Indexes.tableName(sf0001, "doc_passages"))
+      .select("doc_id", "pi", "ph")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(persisted == inline, "passage artifact must match the inline build")
+  }
+
   test("cc label artifact equals a direct fixpoint run") {
     val docs = sources.Tables.documents(spark, sf0001)
     val direct = operators.Clustering
