@@ -94,19 +94,26 @@ object Bench {
         .getOrElse {
           val cwd = java.nio.file.Paths.get(".").toAbsolutePath
           val re = "BENCH_r(\\d+)\\.json".r
-          val it = java.nio.file.Files.list(cwd).iterator()
-          var n = 0
-          while (it.hasNext) it.next().getFileName.toString match {
-            case re(d) => n = math.max(n, d.toInt)
-            case _ =>
-          }
+          val stream = java.nio.file.Files.list(cwd)
+          val n = try {
+            val it = stream.iterator()
+            var m = 0
+            while (it.hasNext) it.next().getFileName.toString match {
+              case re(d) => m = math.max(m, d.toInt)
+              case _ =>
+            }
+            m
+          } finally stream.close() // Files.list holds the dir fd open
           cwd.resolve(f"BENCH_SELF_r${n + 1}%02d.json")
         }
+      // env-derived strings must be JSON-escaped or a quote in
+      // SPARK_GRAFT_CPUS corrupts the machine-readable artifact
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
       val protocol = s"""{"reps":$Reps,"aggregation":"median_of_successful",""" +
         s""""warmup":"all tables noop-scanned, then 1 untimed run per query",""" +
-        s""""cpus":"$cpus","spark":"${spark.version}","sink":"noop"}"""
+        s""""cpus":"${esc(cpus)}","spark":"${esc(spark.version)}","sink":"noop"}"""
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","protocol":$protocol,"queries":$qs}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"${esc(sfDir)}","protocol":$protocol,"queries":$qs}""".getBytes("UTF-8"))
       System.err.println(s"[bench] self-published $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-publish failed (non-fatal): ${e.getMessage}")

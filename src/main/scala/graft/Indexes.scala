@@ -2,7 +2,6 @@ package graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.collection.concurrent.TrieMap
 
 /** Build-once / read-many index artifacts (VERDICT r04 task 1).
   *
@@ -36,9 +35,13 @@ object Indexes {
 
   /** One DataFrame per (session, table): the repeated `s.table` lookup
     * is cheap, but memoizing keeps a stable plan object and documents
-    * the build-once contract in the type. Keyed by session identity so
-    * a restarted session rebuilds its catalog entries. */
-  private val memo = TrieMap.empty[(Int, String), DataFrame]
+    * the build-once contract in the type. Identity-keyed WeakHashMap:
+    * distinct live sessions can never collide (unlike an identity
+    * HASH key), and a stopped session's entries become collectable
+    * instead of pinning the session for the JVM lifetime. All access
+    * is under the object lock below. */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   private def slug(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -54,9 +57,11 @@ object Indexes {
     * centroid sets where bucketing buys nothing. */
   def table(s: SparkSession, sfDir: String, name: String,
             bucketKeys: Seq[String], nBuckets: Int = 32)
-           (build: => DataFrame): DataFrame = {
+           (build: => DataFrame): DataFrame = this.synchronized {
     val tbl = tableName(sfDir, name)
-    memo.getOrElseUpdate((System.identityHashCode(s), tbl), this.synchronized {
+    val perSession = memo.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    perSession.getOrElseUpdate(tbl, {
       if (!s.catalog.tableExists(tbl)) {
         // a directory left by a previous JVM is invisible to this
         // in-memory catalog but blocks the managed CREATE TABLE —
@@ -65,14 +70,10 @@ object Indexes {
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
         if (bucketKeys.nonEmpty)
-          operators.Physical.writeBucketed(buildDf(build), tbl, bucketKeys, nBuckets)
-        else buildDf(build).write.format("parquet").mode("overwrite").saveAsTable(tbl)
+          operators.Physical.writeBucketed(build, tbl, bucketKeys, nBuckets)
+        else build.write.format("parquet").mode("overwrite").saveAsTable(tbl)
       }
       s.table(tbl)
     })
   }
-
-  // indirection so `build` (a by-name arg) is forced exactly once and
-  // only on the build path
-  private def buildDf(build: => DataFrame): DataFrame = build
 }

@@ -50,7 +50,13 @@ object WordCount {
     // wholetext: each FILE is one document, so n-gram windows span line
     // breaks — the reference's mapper keeps a queue across lines for
     // exactly this (reference/WordCount.java:68-91); plain line-wise
-    // read would silently drop every cross-newline n-gram for n >= 2
+    // read would silently drop every cross-newline n-gram for n >= 2.
+    // Operating envelope: wholetext materializes each file as ONE row
+    // in one task, so per-FILE size is bounded by task memory (and
+    // hard-capped near 2 GB by the JVM array limit) — right for the
+    // reference's e-book corpus (many files, each modest); a corpus of
+    // multi-GB single files should be split upstream or fed through
+    // the documents-table pipeline, which this CLI wraps
     val counts = TextPipeline.ngramCountUnsorted(
       spark.read.option("wholetext", "true").text(input), "value", n)
     Sinks.writeTsv(

@@ -243,10 +243,6 @@ object NearDup {
         .orderBy("id1", "id2")
     },
 
-    // X53 fuzzy best match (entity resolution): for every doc in a NEW
-    // batch (odd ids), its single best already-ingested corpus match
-    // (even ids) — candidates from shared fingerprint-band buckets (the
-    // X21 blocking graph; SQL-expressible, unlike the MinHash UDAF
     // X2+: EXACT set-similarity self-join via PREFIX FILTERING (the
     // PPJoin family's candidate rule): order each doc's distinct
     // 3-gram set rarest-first (global frequency asc, gram asc); two
@@ -295,9 +291,14 @@ object NearDup {
       val docs = withPlantedDups(
         Tables.documents(s, d).filter(col("source") === "src1")
           .select(col("doc_id"), col("text")))
+      // materialized once: sh feeds freq, the ranked prefix build, and
+      // BOTH verify-join sides — four plan branches that would each
+      // re-run tokenize+shingle+distinct otherwise (the
+      // vectorsAndPostings lesson)
       val sh = docs
         .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
         .filter(size(col("s")) > 0)
+        .localCheckpoint()
       val freq = sh.select(explode(col("s")).as("g"))
         .groupBy("g").agg(count(lit(1)).as("f"))
       // rarest-first canonical order per doc, then the prefix explode
@@ -325,6 +326,10 @@ object NearDup {
         .orderBy("id1", "id2")
     },
 
+    // X53 fuzzy best match (entity resolution): for every doc in a NEW
+    // batch (odd ids), its single best already-ingested corpus match
+    // (even ids) — candidates from shared fingerprint-band buckets (the
+    // X21 blocking graph; SQL-expressible, unlike the MinHash UDAF
     // blocks), scored by exact trigram Jaccard, winner by (jaccard
     // DESC, corpus id ASC).
     //

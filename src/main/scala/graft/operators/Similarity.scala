@@ -229,7 +229,8 @@ object Similarity {
     * default operating point. */
   def ivfTopK(emb: DataFrame, nQ: Int, k: Int, nClusters: Int = 12,
               nProbe: Int = 4, iters: Int = 3,
-              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
+              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+              corpusTag: String = "emb"): DataFrame = {
     // 12/4 default picked by IvfSweep: mean top-10 recall 0.65 at a 1/3
     // probe fraction (16/4 sat at 0.49; wider probes buy recall roughly
     // linearly in candidates scanned).
@@ -239,7 +240,11 @@ object Similarity {
     // with `idx`, the trained coarse quantizer and its postings list
     // persist as Indexes artifacts — k-means runs once per
     // (scale factor, config), every later probe reads the saved index
-    val cfg = s"k${nClusters}_i${iters}_q$nQ"
+    // corpusTag disambiguates artifacts when two callers share a
+    // config but index DIFFERENT corpora (the lsh/minhash convention —
+    // without it a planted-dup caller would silently read centroids
+    // trained on the raw embeddings)
+    val cfg = s"${corpusTag}_k${nClusters}_i${iters}_q$nQ"
     val cents = idx match {
       case Some((s, d)) =>
         graft.Indexes.table(s, d, s"ivf_cents_$cfg", Nil) {
