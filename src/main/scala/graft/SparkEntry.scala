@@ -11,8 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** The full operator registry, grouped by SURVEY.md §7 slice. */
-  def all: Seq[Q] =
+  /** The full operator registry, grouped by SURVEY.md §7 slice.
+    *
+    * Names must be unique: [[queries]] is name-keyed, so a duplicate
+    * would silently shadow an earlier query (last wins) — exactly the
+    * round-5 `window_distribution` bug where a registered operator was
+    * dead code presented as coverage. The require makes any collision
+    * fail every entry point (Verify, Bench, every spec) immediately.
+    */
+  lazy val all: Seq[Q] = {
+    val qs = registry
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
+    qs
+  }
+
+  private def registry: Seq[Q] =
     operators.TextPipeline.all ++
       operators.Scalars.all ++
       operators.Aggregates.all ++

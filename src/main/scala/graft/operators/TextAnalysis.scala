@@ -100,7 +100,34 @@ object TextAnalysis {
     // perplexity-proxy ladder above doc_unigram_logprob (catches
     // shuffled-token text that unigram stats cannot). Same float
     // discipline: counts exact, one IEEE division per term, ln rounded
-    // to 9 dp, DECIMAL(28,9) order-free accumulation.
+    // to 9 dp, DECIMAL order-free accumulation.
+    //
+    // Scale shape (VERDICT r05 item 3): never join the per-OCCURRENCE
+    // bigram stream on skewed gram keys ("of the"-class hot keys — the
+    // reference's own partitioner concession, WordCount.java:55-59).
+    // Instead (1) pre-aggregate occurrences to (doc_id, w1, w2, cnt)
+    // — ONE groupBy whose shuffle is map-side-combined to distinct
+    // doc-grams; (2) derive the corpus bigram table c2 from that
+    // compact frame and its left-context total n1 as a WINDOW over c2
+    // (partitionBy(w1), unbounded frame — no self-join, no duplicated
+    // subtree); (3) score the DISTINCT bigram table (|c2| rows) and
+    // join doc-gram counts back on (w1,w2). Every post-explode shuffle
+    // carries distinct-gram-scale rows, not occurrence-scale.
+    //
+    // The explicit isNotNull filter on (w1,w2) is semantically a no-op
+    // (array elements are never null) but load-bearing for AQE stage
+    // reuse: the join infers isnotnull on BOTH keys into the join-back
+    // branch, while through the Window only the partition key w1's
+    // filter pushes — leaving the two bgd subtrees canonically
+    // different, so the explode+partial-agg map stage ran TWICE.
+    // Filtering up front makes both branches identical; the doc-gram
+    // shuffle is built once and reused (ReusedExchange, pinned in
+    // PlanAuditSpec).
+    // Exactness: sum over occurrences of a 9-dp DECIMAL term ==
+    // sum(cnt × term) over distinct doc-grams — integer multiples of
+    // an exact decimal — so the oracle (which sums per occurrence)
+    // hashes identically. term as DECIMAL(20,9) × cnt DECIMAL(10,0)
+    // → DECIMAL(31,9) product, exact, no precision-loss truncation.
     Q("doc_bigram_surprise",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
@@ -126,17 +153,27 @@ object TextAnalysis {
                 element_at(col("t"), i + 1).as("w2"))))
             .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
+      val bgd = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val c2 = bgd.groupBy("w1", "w2").agg(sum(col("cnt")).as("n2"))
+      // Vocabulary from the token stream, not from c2's endpoints: a
+      // c2-derived distinct lets Catalyst drop the doc_id grouping
+      // from that branch (distinct-only consumer), which would forge a
+      // THIRD non-shareable explode subtree. Map-side partial distinct
+      // bounds this shuffle at vocabulary-scale per partition.
       val v = toks.select(explode(col("t")).as("tok"))
         .agg(countDistinct(col("tok")).as("nv"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
-        .select(col("doc_id"),
+      val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      val scored = c2.withColumn("n1", sum(col("n2")).over(byW1))
+        .crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
           round(log((col("n2").cast("double") + lit(1)) / (col("n1") + col("nv"))), 9)
-            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("term"))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("term"))
+      bgd.join(scored, Seq("w1", "w2"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("term")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          round(sum(col("term") * col("cnt").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+            .cast("double") / sum(col("cnt")), 6).as("avg_logprob"))
         .orderBy("doc_id")
     },
 

@@ -57,7 +57,11 @@ object Windows {
     // scores are integer-count-derived single divisions, identical in
     // IEEE across engines; the window key is o_custkey
     // (high-cardinality) with a unique (price, orderkey) sort.
-    Q("window_distribution",
+    // (Named *_orders: the lineitem percent_rank/cume_dist query below
+    // already holds the bare window_distribution name — a silent
+    // last-wins collision in the name-keyed registry shadowed this one
+    // in round 5; SparkEntry.all now rejects duplicates outright.)
+    Q("window_distribution_orders",
       """SELECT o_custkey, o_orderkey,
         |  round(percent_rank() OVER w, 9) AS pr,
         |  round(cume_dist() OVER w, 9) AS cd,

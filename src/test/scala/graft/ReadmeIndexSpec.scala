@@ -26,6 +26,18 @@ class ReadmeIndexSpec extends AnyFunSuite {
       }.toSeq
   }
 
+  // VERDICT r05 item 1: a duplicate name silently shadows a query in the
+  // name-keyed `queries` map (last wins). SparkEntry.all now `require`s
+  // uniqueness at construction; this test names the invariant so a
+  // collision shows up as a readable failure, not just an init error.
+  test("registry query names are unique") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    assert(names.size == SparkEntry.queries.size,
+      "queries map dropped entries relative to the registry")
+  }
+
   test("README index lists exactly the registered queries") {
     val listed = tableRows.map(_._2).toSet
     val registered = SparkEntry.queries.keySet
