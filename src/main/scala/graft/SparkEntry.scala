@@ -26,7 +26,10 @@ object SparkEntry {
     qs
   }
 
-  private def registry: Seq[Q] =
+  /** Pre-uniqueness-check concatenation — package-visible so the
+    * ReadmeIndexSpec collision test can inspect duplicates directly
+    * (calling [[all]] would throw the require before any assert ran). */
+  private[graft] def registry: Seq[Q] =
     operators.TextPipeline.all ++
       operators.Scalars.all ++
       operators.Aggregates.all ++

@@ -37,7 +37,12 @@ object TimeSeries {
     // both accumulate as DECIMAL (order-free; windowed double sums are
     // segment-tree-ordered in DuckDB and left-fold in Spark — NOT
     // comparable); the weekday slot is datediff from a fixed anchor
-    // mod 7 (both engines' native dayofweek disagree on Sunday);
+    // under a NON-NEGATIVE modulus — pmod in Spark, ((x%7)+7)%7 in the
+    // oracle, since both engines' native % keeps the dividend's sign
+    // and both engines' native dayofweek disagree on Sunday. A signed
+    // % would silently split each weekday into two seasonal slots for
+    // any date before the anchor (TimeSeriesSpec pins the pre-anchor
+    // case);
     // seasonal means accumulate rounded DECIMAL(28,6) terms; residual
     // is derived from the already-rounded display columns so both
     // engines subtract identical doubles.
@@ -50,7 +55,7 @@ object TimeSeries {
     Q("seasonal_decompose",
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow,
+        |    ((datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 7) + 7) % 7 AS dow,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
         |  FROM orders GROUP BY 1, 2),
         |tr AS (
@@ -70,7 +75,7 @@ object TimeSeries {
         |ORDER BY t.d""".stripMargin) { (s, d) =>
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("d"),
-          (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")) % 7).as("dow"))
+          pmod(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")), lit(7)).as("dow"))
         .agg(sum(col("o_totalprice").cast(DecimalType(38, 4))).cast("double").as("total"))
       val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
       val tr = daily.select(col("d"), col("dow"), col("total"),

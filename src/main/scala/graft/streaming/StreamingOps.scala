@@ -118,7 +118,7 @@ object StreamingOps {
     * source's fixed backlog can't exercise long-running state growth/
     * eviction. Shape matches the events table (ts, user_id, event_type,
     * value) so every windowed/stateful operator consumes it unchanged;
-    * `usersPerSecond`-scale key cardinality drives real state churn. */
+    * `nUsers`-scale key cardinality drives real state churn. */
   def rateEvents(spark: SparkSession, rowsPerSecond: Int = 500, nUsers: Int = 64): DataFrame =
     spark.readStream
       .format("rate")

@@ -12,11 +12,30 @@ class IndexesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import SparkTestSession.{sf0001, sf001}
 
+  /** Forget an artifact everywhere — catalog, memo (via a throwaway
+    * session in the caller), and DISK — so a test exercises the build
+    * path even when a previous test-JVM run left the external dir
+    * behind (adoption is the point of the layer, but not of the
+    * builds-once test). */
+  private def obliterate(sfDir: String, name: String): Unit = {
+    val tbl = Indexes.tableName(sfDir, name)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), tbl)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   test("table() builds once, then serves the catalog artifact") {
+    obliterate(sf0001, "spec_probe")
+    obliterate(sf001, "spec_probe")
+    // fresh session → fresh memo row, so this test is re-runnable in a
+    // JVM where an earlier suite already memoized the probe artifact
+    val s = spark.newSession()
     var builds = 0
-    def probe() = Indexes.table(spark, sf0001, "spec_probe", Seq("k")) {
+    def probe() = Indexes.table(s, sf0001, "spec_probe", Seq("k")) {
       builds += 1
-      spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      s.range(10).select(col("id").as("k"), (col("id") * 2).as("v"))
     }
     val first = probe().collect().sortBy(_.getLong(0))
     val second = probe().collect().sortBy(_.getLong(0))
@@ -25,11 +44,58 @@ class IndexesSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists(Indexes.tableName(sf0001, "spec_probe")))
     // different sfDir key → different artifact, fresh build
     var builds2 = 0
-    Indexes.table(spark, sf001, "spec_probe", Seq("k")) {
+    Indexes.table(s, sf001, "spec_probe", Seq("k")) {
       builds2 += 1
-      spark.range(3).select(col("id").as("k"), col("id").as("v"))
+      s.range(3).select(col("id").as("k"), col("id").as("v"))
     }.collect()
     assert(builds2 == 1, "a different scale factor is a different artifact")
+  }
+
+  test("a fresh catalog adopts the on-disk artifact without rebuilding") {
+    // VERDICT r06 task 3. Simulates a second JVM faithfully: the catalog
+    // entry is gone (DROP on the external table keeps the files — as a
+    // new JVM's in-memory catalog starts empty over the same warehouse)
+    // and the memo row is gone (a distinct SparkSession object).
+    obliterate(sf0001, "spec_adopt")
+    var builds = 0
+    def mk(s: org.apache.spark.sql.SparkSession) =
+      Indexes.table(s, sf0001, "spec_adopt", Seq("k"), nBuckets = 4) {
+        builds += 1
+        s.range(20).select(col("id").as("k"), (col("id") * 3).as("v"))
+      }
+    val tbl = Indexes.tableName(sf0001, "spec_adopt")
+    val first = mk(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(builds == 1)
+
+    spark.sql(s"DROP TABLE $tbl") // external: directory + marker survive
+    val s2 = spark.newSession()
+    val adopted = mk(s2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(builds == 1, "second catalog must ADOPT the files, not rebuild")
+    assert(adopted == first, "adopted artifact must be row-identical")
+    // the adopted registration keeps the bucket layout (the whole point:
+    // bucket-key joins stay Exchange-free in the adopting JVM)
+    val desc = s2.sql(s"DESCRIBE FORMATTED $tbl").collect().map(_.mkString("|"))
+    assert(desc.exists(l => l.contains("Num Buckets") && l.contains("4")),
+      "adopted table must carry the bucket spec")
+    assert(desc.exists(l => l.contains("Bucket Columns") && l.contains("k")))
+  }
+
+  test("a mismatched or incomplete directory rebuilds instead of adopting") {
+    obliterate(sf0001, "spec_guard")
+    var builds = 0
+    def mk(s: org.apache.spark.sql.SparkSession, buckets: Int) =
+      Indexes.table(s, sf0001, "spec_guard", Seq("k"), nBuckets = buckets) {
+        builds += 1
+        s.range(8).select(col("id").as("k"), col("id").as("v"))
+      }
+    val tbl = Indexes.tableName(sf0001, "spec_guard")
+    mk(spark, 4).collect()
+    assert(builds == 1)
+    // same name, different bucket layout → marker mismatch → rebuild
+    // (adopting 4-bucket files under an 8-bucket spec would corrupt joins)
+    spark.sql(s"DROP TABLE $tbl")
+    mk(spark.newSession(), 8).collect()
+    assert(builds == 2, "a changed bucket spec must force a rebuild")
   }
 
   test("persisted co-order pair table equals the inline self-join") {

@@ -296,4 +296,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "window must partition by the scaling key")
     assert(!p.contains("SinglePartition"), "no global window funnel")
   }
+
+  test("doc_bigram_surprise: doc-gram shuffle built once (AQE ReusedExchange)") {
+    // The r06 rewrite relies on an up-front isNotNull filter making the
+    // two bgd consumers (window branch + join-back branch) canonically
+    // identical, so AQE materializes the explode→partial-agg map stage
+    // ONCE. Reuse only appears in the FINAL adaptive plan, so execute
+    // first; a refactor that breaks canonical equality doubles the most
+    // expensive stage and fails here.
+    val df = SparkEntry.queries("doc_bigram_surprise")(spark, SparkTestSession.sf001)
+    df.collect() // finalize the adaptive plan (sf0.01: a few thousand rows)
+    // AdaptiveSparkPlanExec.toString prints BOTH the final and the
+    // pre-execution initial plan; only the final section reflects what ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      "doc-gram shuffle must be reused across the window and join-back branches")
+    // exactly one bigram-builder subtree survives: the transform(sequence(...))
+    // generator appears once in the final plan (vocab explodes raw tokens,
+    // matched separately, so it doesn't count here)
+    val gens = "transform\\(sequence\\(1,".r.findAllIn(p).size
+    assert(gens == 1, s"expected 1 live bigram explode subtree, saw $gens")
+  }
 }

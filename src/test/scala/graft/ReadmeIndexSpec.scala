@@ -27,14 +27,15 @@ class ReadmeIndexSpec extends AnyFunSuite {
   }
 
   // VERDICT r05 item 1: a duplicate name silently shadows a query in the
-  // name-keyed `queries` map (last wins). SparkEntry.all now `require`s
-  // uniqueness at construction; this test names the invariant so a
-  // collision shows up as a readable failure, not just an init error.
+  // name-keyed `queries` map (last wins). SparkEntry.all `require`s
+  // uniqueness at construction; this test inspects the RAW pre-require
+  // registry (ADVICE r07: asserting on `all` was unreachable — the
+  // require threw first) so a collision reports the offending names.
   test("registry query names are unique") {
-    val names = SparkEntry.all.map(_.name)
+    val names = SparkEntry.registry.map(_.name)
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
-    assert(names.size == SparkEntry.queries.size,
+    assert(SparkEntry.all.size == SparkEntry.queries.size,
       "queries map dropped entries relative to the registry")
   }
 
