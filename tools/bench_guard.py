@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression guard (VERDICT r06 task 2).
+
+Compares a bench artifact's per-query medians against the previous
+round's published medians and flags any query slower than THRESHOLD x
+its prior median (absolute floor MIN_SEC filters sub-100ms jitter).
+
+Usage:
+    python3 tools/bench_guard.py [current.json] [previous.json]
+
+With no args: current = newest BENCH_SELF_r*.json, previous = newest
+BENCH_r*.json older than the current round. Exit 1 if any query is
+flagged — wire it after a bench run to stop a regression shipping as
+"the artifact moved".
+"""
+import glob
+import json
+import re
+import sys
+
+THRESHOLD = 1.5
+MIN_SEC = 0.15  # both medians under this: jitter, not a regression
+
+
+def newest(pattern, below=None):
+    best, best_n = None, -1
+    for p in glob.glob(pattern):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n and (below is None or n < below):
+            best, best_n = p, n
+    return best, best_n
+
+
+META_KEYS = {"value", "n_queries", "reps", "shards", "n", "rc", "cpus", "sf"}
+
+
+def medians(path):
+    """Per-query medians from any artifact shape: BENCH_SELF (query_detail
+    or queries), the raw bench stdout line (queries), or the driver's
+    wrapper (parsed.queries, falling back to scraping its truncated
+    `tail` string — better a partial baseline than none)."""
+    with open(path) as f:
+        d = json.load(f)
+    if "query_detail" in d:
+        return {k: v["median"] for k, v in d["query_detail"].items()}
+    if isinstance(d.get("queries"), dict):
+        return dict(d["queries"])
+    if isinstance(d.get("parsed"), dict) and isinstance(d["parsed"].get("queries"), dict):
+        return dict(d["parsed"]["queries"])
+    if isinstance(d.get("tail"), str):
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)', d["tail"])
+        return {k: float(v) for k, v in pairs if k not in META_KEYS}
+    return {}
+
+
+def main():
+    if len(sys.argv) >= 3:
+        cur_path, prev_path = sys.argv[1], sys.argv[2]
+    else:
+        cur_path = sys.argv[1] if len(sys.argv) == 2 else None
+        if cur_path is None:
+            cur_path, cur_n = newest("BENCH_SELF_r*.json")
+        else:
+            m = re.search(r"_r(\d+)\.json$", cur_path)
+            cur_n = int(m.group(1)) if m else None
+        # prefer a prior self-published artifact (complete, never
+        # truncated); fall back to the driver's wrapper
+        prev_path, _ = newest("BENCH_SELF_r*.json", below=cur_n)
+        if prev_path is None:
+            prev_path, _ = newest("BENCH_r*.json", below=cur_n)
+    if not cur_path or not prev_path:
+        print(f"bench_guard: need two artifacts (cur={cur_path}, prev={prev_path})")
+        sys.exit(2)
+
+    cur, prev = medians(cur_path), medians(prev_path)
+    flagged, improved, new = [], 0, 0
+    for name, c in sorted(cur.items()):
+        p = prev.get(name)
+        if p is None:
+            new += 1
+            continue
+        if c < 0 or p <= 0:
+            if c < 0:
+                flagged.append((name, p, c, float("inf")))
+            continue
+        ratio = c / p
+        if ratio > THRESHOLD and not (c < MIN_SEC and p < MIN_SEC):
+            flagged.append((name, p, c, ratio))
+        elif ratio < 1 / THRESHOLD:
+            improved += 1
+
+    print(f"bench_guard: {cur_path} vs {prev_path}: "
+          f"{len(cur)} queries ({new} new), {improved} improved >{THRESHOLD}x, "
+          f"{len(flagged)} flagged >{THRESHOLD}x")
+    for name, p, c, r in sorted(flagged, key=lambda x: -x[3]):
+        print(f"  FLAG {name}: {p:.3f}s -> {c:.3f}s ({r:.2f}x)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
