@@ -71,6 +71,32 @@ object Bench {
     qs.slice(i * per, math.min(qs.size, (i + 1) * per))
   }
 
+  /** Generic execution-stack warmup: a fresh JVM's first timed queries
+    * otherwise pay the C2-JIT tax on Spark's shuffle/agg/join/window/
+    * sort machinery — the per-query untimed run compiles the QUERY's
+    * codegen but not the interpreter-tier runtime under it. Measured on
+    * the first sharded run: 11 of 14 round-over-round flags sat at
+    * shard offsets 0–3 (ab_test_welch 0.59→1.09 s etc.). Three reps of
+    * a synthetic range→agg→join→window→sort pipeline push those paths
+    * through C2 before any timing. */
+  private def jitWarm(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    (1 to 3).foreach { _ =>
+      val base = spark.range(1 << 20).selectExpr("id", "id % 997 AS k",
+        "CAST(id % 7919 AS DOUBLE) AS v", "concat('s', id % 1013) AS s")
+      val agg = base.groupBy("k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("c"),
+          approx_count_distinct("s").as("d"))
+      base.join(agg, "k")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("k").orderBy(col("v").desc, col("id"))))
+        .filter(col("r") <= 3)
+        .orderBy(col("sv").desc, col("id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
   /** Warm tables, then time each query: one untimed run + Reps timed.
     * Failed runs record -1 (never a plausible-looking time). */
   private def timeQueries(spark: SparkSession, sfDir: String,
@@ -82,6 +108,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
       }
+    }
+    try jitWarm(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] jit warmup failed (non-fatal): ${e.getMessage}")
     }
     qs.map { case (name, fn) =>
       // untimed first run: this query's whole-stage codegen compiles
@@ -255,7 +285,7 @@ object Bench {
       // SPARK_GRAFT_CPUS corrupts the machine-readable artifact
       def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
       val protocol = s"""{"reps":$Reps,"aggregation":"median_of_successful",""" +
-        s""""warmup":"per shard: all tables noop-scanned, then 1 untimed run per query",""" +
+        s""""warmup":"per shard: all tables noop-scanned + 3 synthetic JIT pipeline runs, then 1 untimed run per query",""" +
         s""""indexes":"persisted across queries and shards; build cost falls in warmup",""" +
         s""""shards":$shards,"isolation":"${if (forked) "fresh JVM per shard" else "fresh SparkContext per shard (fork unavailable)"}",""" +
         s""""cpus":"${esc(cpus)}","spark":"${esc(org.apache.spark.SPARK_VERSION)}","sink":"noop"}"""

@@ -420,6 +420,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("X33 transformWithState TTL: idle key's state is evicted between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: with TimeMode.ProcessingTime the engine schedules micro-
+    // batches continuously (shouldRunAnotherBatch stays true so TTL /
+    // timers can advance on a no-data batch), which means noNewData is
+    // never latched and processAllAvailable() NEVER RETURNS for this
+    // query shape. The test must poll the sink for the expected row
+    // count instead — and the trigger is throttled so the idle-spin
+    // between events is a few batches, not thousands.
+    SparkTestSession.withConf(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "4") {
+      val mem = MemoryStream[(Long, String)]
+      // TTL long enough that the first two events land inside it even on
+      // a loaded box (batches fire every 250 ms), short enough to sleep past
+      val ttl = java.time.Duration.ofSeconds(8)
+      val q = StreamingOps.userActivityTtl(mem.toDS(), ttl).writeStream
+        .format("memory").queryName("activity_ttl_sink").outputMode("update")
+        .trigger(Trigger.ProcessingTime(250)).start()
+      def sinkAfter(n: Int): Seq[(Long, Long, Long, String)] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var rows = Seq.empty[(Long, Long, Long, String)]
+        while (rows.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          rows = spark.table("activity_ttl_sink")
+            .as[(Long, Long, Long, String)].collect().toSeq
+        }
+        rows
+      }
+      mem.addData(Seq((1L, "click"))); sinkAfter(1)   // t0: write state
+      mem.addData(Seq((1L, "view")));  sinkAfter(2)   // < TTL: accumulates
+      Thread.sleep(ttl.toMillis + 2000)               // let user 1 expire
+      mem.addData(Seq((1L, "buy")))                   // > TTL: cold start
+      val snaps = sinkAfter(3)
+      q.stop()
+      // within TTL the ValueState AND MapState carried over (n 1 -> 2);
+      // past TTL both were evicted — the third snapshot restarts at
+      // n_events=1 with ONLY the new type (2/"click" would mean the
+      // expired value was served)
+      assert(snaps == Seq((1L, 1L, 1L, "click"), (1L, 2L, 2L, "click"),
+        (1L, 1L, 1L, "buy")), s"TTL eviction not observed: $snaps")
+    }
+  }
+
   test("X33 batch form: registry query is re-runnable (coordinator bootstrap is idempotent)") {
     // the bench executes every registry fn 4x in one session, and this
     // session has already run streaming queries (coordinator exists) —
