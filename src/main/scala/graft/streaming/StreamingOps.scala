@@ -6,6 +6,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
+import graft.sources.Tables
+
 /** Accumulator for [[StreamingOps.userProfiles]] — timestamps carried
   * as epoch micros so the state encoder is all primitives. */
 case class ProfileState(n_events: Long, total_value: Double,
@@ -92,30 +94,31 @@ class ActivityProcessor(ttl: TTLConfig = TTLConfig.NONE)
   */
 object StreamingOps {
 
-  /** Raw parquet schema of `events` — `ts` arrives as nanosecond int64
-    * (read with spark.sql.legacy.parquet.nanosAsLong=true, set at
-    * session build; see Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** G21: rate-limited streaming ingest of the events parquet —
-    * micro-batches of ≤ `maxFilesPerTrigger` files. The ns→µs ts
-    * conversion matches the batch loader exactly. */
+    * micro-batches of ≤ `maxFilesPerTrigger` files.
+    *
+    * The file stream source needs a DECLARED schema, but `events.ts`
+    * has shipped as both TIMESTAMP(NANOS) (read as nanos int64 under
+    * the legacy flag) and TIMESTAMP(MICROS)/NTZ across fixture
+    * generations. Probe the encoding with one batch footer read of the
+    * same glob — exactly what the files already on disk decode to —
+    * then declare that schema for the stream and normalize `ts` through
+    * the SAME dispatch as the batch loader (Tables.normalizeEventsTs),
+    * so stream and batch surfaces agree byte-for-byte whichever
+    * encoding the directory holds. */
   def readEventsStream(spark: SparkSession, sfDir: String,
-                       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      // glob, not a bare file path: the file stream source requires its
-      // basePath to be a directory (new files matching the pattern are
-      // picked up as they land — the production ingest shape)
-      .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val glob = s"$sfDir/events*.parquet"
+    val asRead = spark.read.parquet(glob).schema
+    Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(asRead)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        // glob, not a bare file path: the file stream source requires its
+        // basePath to be a directory (new files matching the pattern are
+        // picked up as they land — the production ingest shape)
+        .parquet(glob))
+  }
 
   /** G21+: UNBOUNDED synthetic event stream from Spark's rate source —
     * the soak-test entry for the state-store paths, where the file
