@@ -135,4 +135,33 @@ object AsOfJoin {
     }
     withCols.drop("__ts", "__side", "__p", "__asof")
   }
+
+  /** Forward (look-ahead) as-of: for every left row, the EARLIEST right
+    * row with `right.ts >= left.ts` within the same key group — the
+    * mirror of [[lastTimestamp]], same one-shuffle union+window shape
+    * with the frame and tie order reversed: right rows sort AFTER left
+    * rows at equal ts (`__side` DESC) so an equal-timestamp right row
+    * falls inside the CURRENT ROW → UNBOUNDED FOLLOWING frame
+    * (inclusive forward match), and `first(ignoreNulls)` picks the
+    * soonest one. The backfill shape: "next shipment after the order",
+    * "first response after the ticket". */
+  def firstTimestamp(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val r = right
+      .select(col(key), col(rightTs).as("__ts"))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col("__ts"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side").desc, col("__rts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("next_ts", first(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__rts")
+  }
 }

@@ -202,6 +202,24 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // X16 forward direction: for each event, the EARLIEST purchase at
+    // or after it by the same user (the look-ahead mirror of
+    // join_asof — "next conversion after this touch"). Same
+    // one-shuffle union+window composition, frame reversed.
+    Q("join_asof_forward",
+      """SELECT e.event_id,
+        |  (SELECT min(p.ts) FROM events p
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |     AND p.ts >= e.ts) AS next_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      AsOfJoin.firstTimestamp(
+        ev, ev.filter(col("event_type") === "purchase"),
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select("event_id", "next_ts")
+        .orderBy("event_id")
+    },
+
     // G13 as-of, bucketed scale form (same oracle: results must be
     // identical to join_asof; user_id is exactly the ~tens-cardinality
     // key the bucketed variant exists for).

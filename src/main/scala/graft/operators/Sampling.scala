@@ -142,6 +142,51 @@ object Sampling {
         .filter(col("__rn") <= quota)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // X71b: TEMPERATURE-smoothed corpus mixing — quotas derived from
+    // the corpus itself instead of a hand recipe: quota_i =
+    // floor(budget × n_i^α / Σ n_j^α) with α = 0.5, the standard
+    // multilingual-LM upsampling that lifts low-resource languages
+    // without letting the head language swamp the mix. α = 0.5 means
+    // sqrt, which (unlike pow/exp/log) is CORRECTLY ROUNDED under IEEE
+    // 754, so both engines compute bit-identical weights from the exact
+    // integer counts; the cross-language weight sum is a SORTED
+    // SEQUENTIAL fold (the X32 discipline — aggregate HOF here,
+    // list_sum over an ordered list in DuckDB) so double addition
+    // order cannot flip a floor boundary. Draw within language is the
+    // same deterministic smallest-md5 window as corpus_mix. Per-lang
+    // count + one ~5-row broadcast + one window shuffle: scale-safe.
+    Q("corpus_mix_temperature",
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tw AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+        |tot AS (SELECT list_sum(list(w ORDER BY lang)) AS wsum FROM tw),
+        |q AS (SELECT lang, CAST(floor(w * 200.0 / wsum) AS BIGINT) AS quota FROM tw, tot),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mixT'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE r.rn <= q.quota ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val weights = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")))
+      val wsum = weights
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("lang"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("wsum"))
+      val quotas = weights.crossJoin(broadcast(wsum))
+        .select(col("lang"),
+          floor(col("w") * lit(200.0) / col("wsum")).cast("long").as("quota"))
+      docs
+        .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":mixT"))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))))
+        .join(broadcast(quotas), "lang")
+        .filter(col("__rn") <= col("quota"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }

@@ -166,6 +166,71 @@ object TimeSeries {
         .orderBy("o_custkey", "d")
     },
 
+    // X40d: linear-interpolation gap fill over the same one-month
+    // spine as gap_fill_forward — unobserved days get the straight
+    // line between the surrounding observed days instead of a carried
+    // value (the sensor/metric backfill shape). Both anchors exist for
+    // every spine day by construction (the spine spans first→last
+    // OBSERVED day), except the trailing edge where next==prev; that
+    // collapse is guarded to the previous value before the division.
+    // Float discipline: anchors are DECIMAL-summed once then cast to
+    // double; day offsets are exact integers; the interpolation is ONE
+    // identical double expression in both engines, rounded once at 6dp.
+    Q("gap_fill_linear",
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS day_spend
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT o_custkey, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+        |  FROM daily GROUP BY o_custkey),
+        |anch AS (
+        |  SELECT s.o_custkey, s.d,
+        |    dd.day_spend IS NOT NULL AS observed,
+        |    last_value(dd.day_spend IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN dd.day_spend IS NOT NULL THEN s.d END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(dd.day_spend IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN dd.day_spend IS NOT NULL THEN s.d END IGNORE NULLS) OVER wf AS nd
+        |  FROM spine s LEFT JOIN daily dd ON dd.o_custkey = s.o_custkey AND dd.d = s.d
+        |  WINDOW
+        |    wp AS (PARTITION BY s.o_custkey ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY s.o_custkey ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, d, observed,
+        |  round(CASE WHEN nd IS NULL OR nd = pd THEN pv
+        |    ELSE pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 6) AS filled_spend
+        |FROM anch ORDER BY o_custkey, d""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 4)))
+          .cast("double").as("day_spend"))
+      val spine = daily.groupBy("o_custkey")
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("o_custkey"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      val wp = Window.partitionBy("o_custkey").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("o_custkey").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("day_spend").isNotNull, col("d"))
+      spine.join(daily, Seq("o_custkey", "d"), "left")
+        .select(col("o_custkey"), col("d"),
+          col("day_spend").isNotNull.as("observed"),
+          last(col("day_spend"), ignoreNulls = true).over(wp).as("pv"),
+          last(obsDay, ignoreNulls = true).over(wp).as("pd"),
+          first(col("day_spend"), ignoreNulls = true).over(wf).as("nv"),
+          first(obsDay, ignoreNulls = true).over(wf).as("nd"))
+        .select(col("o_custkey"), col("d"), col("observed"),
+          round(when(col("nd").isNull || col("nd") === col("pd"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("d"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))), 6).as("filled_spend"))
+        .orderBy("o_custkey", "d")
+    },
+
     // X49: rolling z-score anomaly flag — each order scored against
     // its customer's trailing 6-order window (5 preceding + current).
     // Mean/variance come from EXACT decimal power sums over the frame

@@ -285,6 +285,93 @@ object TpchMore {
             (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
               col("l_quantity") >= 20 && col("l_quantity") <= 35))
         .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // Q12-style: late-shipment priority split. The driver schema has no
+    // l_shipmode, so l_returnflag stands in as the grouping; "late" =
+    // shipped >60 days after ordering (no commit/receipt dates). One
+    // fact⋈fact equi-join on the order key with the year filter pushed
+    // to the orders scan; both CASE counts ride the same aggregation
+    // pass (count, not sum: DuckDB's sum(int) widens to HUGEINT,
+    // count stays BIGINT in both engines).
+    Q("tpch_q12ish",
+      """SELECT l.l_returnflag,
+        |  count(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // Q13-style: customer order-count distribution — the classic LEFT
+    // OUTER join + double aggregation (customers with zero qualifying
+    // orders must land in the c_count=0 bucket, which an inner join
+    // silently drops). The priority exclusion stands in for Q13's
+    // comment-pattern filter and lives in the JOIN CONDITION, not a
+    // WHERE (a WHERE would turn the outer join back into an inner).
+    // Both aggregations are hash-shaped: |customers| rows into the
+    // first, |distinct counts| into the second.
+    Q("tpch_q13ish",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .join(
+          Tables.orders(s, d).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select("o_custkey", "o_orderkey"),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q15-style: top supplier(s) by quarterly revenue — per-supplier
+    // DECIMAL revenue aggregate, then the scalar max joined back as a
+    // one-row broadcast (Catalyst plans the = (SELECT max ...) exactly
+    // so); ties all surface, as in the spec. Supplier names attach
+    // AFTER the top filter, so the dimension join touches only the
+    // winners.
+    Q("tpch_q15ish",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val revenue = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(rev).cast("double").as("total_revenue"))
+      revenue
+        .join(broadcast(revenue.agg(max(col("total_revenue")).as("best"))),
+          col("total_revenue") === col("best"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     }
   )
 }

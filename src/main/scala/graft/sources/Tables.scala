@@ -14,8 +14,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Event-time columns per table. Every one is normalized to
+    * session-zone TimestampType at load (see [[normalizeTs]]) — the r07
+    * fixture regeneration flipped `events.ts` between parquet timestamp
+    * encodings and took out every consumer of the table, so no loader
+    * may assume an on-disk encoding for ANY time column. */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    tsColumns.getOrElse(name, Nil)
+      .foldLeft(spark.read.parquet(s"$sfDir/$name.parquet"))(normalizeTs)
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
@@ -24,43 +35,48 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` has shipped under two parquet encodings across fixture
-    * generations: TIMESTAMP(NANOS) — which Spark's reader only accepts as a
-    * raw nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong=true — and
-    * plain TIMESTAMP(MICROS) (no UTC adjustment, so Spark infers
-    * TIMESTAMP_NTZ). Dispatch on the type the scan actually produced and
-    * normalize both to session-zone TimestampType at microsecond precision,
-    * which is exactly what DuckDB yields for either file, so the oracle sees
-    * identical values. The nanosAsLong flag is only required when the file
-    * really is nanos-encoded; entry points still set it at session build so
-    * either fixture generation loads. */
-  def events(s: SparkSession, d: String): DataFrame =
-    normalizeEventsTs(apply(s, d, "events"))
+  /** `events` needs no special handling beyond [[apply]]'s time-column
+    * normalization; kept as a named loader like its siblings. */
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
 
-  /** Normalize a raw `events` scan's `ts` to session-zone TimestampType,
-    * whatever encoding the file shipped with. Factored out so per-file
-    * loads (e.g. unioning a mixed-encoding directory file-by-file, see
-    * SinkSpec) reuse the exact same dispatch. */
-  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+  /** Normalize one event-time column to session-zone TimestampType at
+    * microsecond precision, whatever encoding the file shipped with.
+    * Time columns have arrived under two parquet encodings across
+    * fixture generations — TIMESTAMP(NANOS), which Spark's reader only
+    * accepts as a raw nanos BIGINT under
+    * spark.sql.legacy.parquet.nanosAsLong=true, and TIMESTAMP(MICROS)
+    * with no UTC adjustment, which Spark infers as TIMESTAMP_NTZ — so
+    * dispatch on the type the scan actually produced. DuckDB yields the
+    * same microsecond wall-clock for every branch (it truncates nanos
+    * on read), so the oracle sees identical values. Exposed package-wide
+    * so per-file loads (e.g. unioning a mixed-encoding directory
+    * file-by-file) reuse the exact same dispatch. */
+  private[graft] def normalizeTs(raw: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+    raw.schema(c).dataType match {
       case LongType => // nanos-as-long legacy read: truncate to micros
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       case TimestampNTZType => // micros, no UTC adjustment: same wall-clock under UTC session tz
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        raw.withColumn(c, col(c).cast(TimestampType))
+      case DateType => // date-typed regen: midnight wall-clock, same day boundaries
+        raw.withColumn(c, col(c).cast(TimestampType))
       case TimestampType => raw
       case other =>
         throw new IllegalStateException(
-          s"events.ts read as unsupported type $other; expected BIGINT (nanos), TIMESTAMP_NTZ or TIMESTAMP")
+          s"$c read as unsupported type $other; expected BIGINT (nanos), DATE, TIMESTAMP_NTZ or TIMESTAMP")
     }
   }
+
+  /** The events-specific entry older call sites and specs use. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
+    normalizeTs(raw, "ts")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** Register every table as a temp view (entry point B: SQL over views).
-    * `events` goes through [[events]] so the SQL surface sees the same
-    * microsecond timestamps as the DataFrame surface.
+    * Views load through [[apply]], so the SQL surface sees the same
+    * normalized microsecond timestamps as the DataFrame surface.
     *
     * Registration is fault-isolated per view: schema resolution is eager in
     * Spark, so one unreadable table (r07: a fixture-format change in
@@ -72,8 +88,7 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Map[String, Throwable] =
     names.flatMap { n =>
       try {
-        val df = if (n == "events") events(spark, sfDir) else apply(spark, sfDir, n)
-        df.createOrReplaceTempView(n)
+        apply(spark, sfDir, n).createOrReplaceTempView(n)
         None
       } catch {
         case e: Exception =>

@@ -104,6 +104,24 @@ class EventsEncodingSpec extends AnyFunSuite {
     assert(df.limit(1).count() === 1)
   }
 
+  test("time-column normalization covers every table's event-time columns") {
+    // the dispatch is table-generic (r08): orders/lineitem date columns
+    // get the same treatment as events.ts, so a future regen flipping
+    // THEIR encoding cannot repeat the r07 breakage
+    assert(Tables.orders(spark, SparkTestSession.sf0001)
+      .schema("o_orderdate").dataType === TimestampType)
+    assert(Tables.lineitem(spark, SparkTestSession.sf0001)
+      .schema("l_shipdate").dataType === TimestampType)
+    // DATE-typed branch: a date-encoded regen loads as midnight timestamps
+    val dir = Files.createTempDirectory("orders-date").toString
+    spark.sql("SELECT 1L AS o_orderkey, DATE'2026-03-05' AS o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val viaDate = Tables.orders(spark, dir)
+    assert(viaDate.schema("o_orderdate").dataType === TimestampType)
+    assert(viaDate.select(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head() === "2026-03-05 00:00:00")
+  }
+
   test("registerViews isolates one unreadable table from the rest of the SQL surface") {
     val dir = Files.createTempDirectory("views-isolated")
     Tables.names.filterNot(_ == "events").foreach { n =>

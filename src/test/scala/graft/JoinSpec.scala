@@ -30,6 +30,25 @@ class JoinSpec extends AnyFunSuite {
     assert(got("e3") == Some(300.0))
   }
 
+  test("forward as-of picks earliest right row at-or-after left ts, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"), // after last right row → null
+      (2L, ts("2024-01-01 09:00:00"), "e3") // equal ts → inclusive match
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1.0), // before e1: must NOT match
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (2L, ts("2024-01-01 09:00:00"), 3.0),
+      (3L, ts("2024-01-01 23:00:00"), 4.0) // other key: never visible
+    ).toDF("user_id", "ts", "amount")
+    val got = AsOfJoin.firstTimestamp(left, right, "user_id", "ts", "ts")
+      .select("tag", "next_ts").as[(String, Option[java.sql.Timestamp])].collect().toMap
+    assert(got("e1") == Some(ts("2024-01-01 11:00:00")))
+    assert(got("e2").isEmpty)
+    assert(got("e3") == Some(ts("2024-01-01 09:00:00")))
+  }
+
   test("as-of join yields null when no prior right row") {
     val left = Seq((1L, ts("2024-01-01 08:00:00"), "early")).toDF("user_id", "ts", "tag")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("user_id", "ts", "amount")

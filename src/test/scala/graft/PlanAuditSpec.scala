@@ -76,6 +76,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "EXISTS -> semi join and NOT EXISTS -> anti join, both on l_orderkey")
   }
 
+  test("Q12/Q13/Q15: keyed joins only, outer join survives, scalar max broadcasts") {
+    val q12 = plan("tpch_q12ish")
+    assert(!q12.contains("CartesianProduct") && !q12.contains("BroadcastNestedLoopJoin"),
+      "the ship-lateness predicate is a post-join filter on an EQUI join; " +
+        "it must never degrade the order-key join to a loop join")
+    assert(q12.contains("partial_count"),
+      "both CASE counts must map-side combine in one aggregation pass")
+    val q13 = plan("tpch_q13ish")
+    assert(q13.contains("LeftOuter"),
+      "zero-order customers must survive — the priority filter lives in the " +
+        "join condition, and nothing downstream may rewrite the outer join away")
+    assert(!q13.contains("CartesianProduct"))
+    val q15 = plan("tpch_q15ish")
+    assert(q15.contains("BroadcastHashJoin") || q15.contains("BroadcastNestedLoopJoin"),
+      "the scalar max(total_revenue) is one row and must broadcast, not shuffle")
+    assert(!q15.contains("CartesianProduct"))
+  }
+
+  test("forward as-of / temperature mix: one keyed shuffle, broadcast quotas, no loops") {
+    val fwd = plan("join_asof_forward")
+    assert(!fwd.contains("CartesianProduct") && !fwd.contains("BroadcastNestedLoopJoin"),
+      "forward as-of is union+window — the correlated min must never plan as a loop join")
+    assert(fwd.contains("Window"), "the look-ahead carry is a window, not a join")
+    val mixT = plan("corpus_mix_temperature")
+    assert(mixT.contains("BroadcastHashJoin"),
+      "the ~5-row quota table must broadcast into the ranked scan")
+    assert(!mixT.contains("CartesianProduct"),
+      "the one-row weight-sum attach must broadcast (BNLJ on 1 row is fine), never shuffle-cartesian")
+  }
+
   test("Q18/Q22 decorrelation: semi join for HAVING-IN, anti join for NOT EXISTS") {
     val q18 = plan("tpch_q18ish")
     assert(!q18.contains("CartesianProduct") && !q18.contains("BroadcastNestedLoopJoin"),

@@ -8,11 +8,16 @@ its prior median (absolute floor MIN_SEC filters sub-100ms jitter).
 Usage:
     python3 tools/bench_guard.py [current.json] [previous.json]
 
-With no args: current = newest BENCH_SELF_r*.json, previous = newest
+With no args: current = newest BENCH_SELF_r*.json, previous =
+BENCH_CANON.json if present (the pinned clean-run reference — r07's
+driver artifact was contention-distorted, so round-over-round "newest"
+is not automatically trustworthy), else newest BENCH_SELF_r*.json /
 BENCH_r*.json older than the current round. Exit 1 if any query is
 flagged — wire it after a bench run to stop a regression shipping as
-"the artifact moved".
+"the artifact moved". Refresh BENCH_CANON.json (cp the new BENCH_SELF)
+whenever a clean run lands on purpose-changed plans.
 """
+import os
 import glob
 import json
 import re
@@ -66,9 +71,13 @@ def main():
         else:
             m = re.search(r"_r(\d+)\.json$", cur_path)
             cur_n = int(m.group(1)) if m else None
-        # prefer a prior self-published artifact (complete, never
-        # truncated); fall back to the driver's wrapper
-        prev_path, _ = newest("BENCH_SELF_r*.json", below=cur_n)
+        # prefer the pinned canonical clean run, then a prior
+        # self-published artifact (complete, never truncated), then
+        # the driver's wrapper
+        if os.path.exists("BENCH_CANON.json"):
+            prev_path = "BENCH_CANON.json"
+        else:
+            prev_path, _ = newest("BENCH_SELF_r*.json", below=cur_n)
         if prev_path is None:
             prev_path, _ = newest("BENCH_r*.json", below=cur_n)
     if not cur_path or not prev_path:
