@@ -289,6 +289,76 @@ object Clustering {
         .groupBy("component").agg(count(lit(1)).as("n_members"))
         .select(col("component"), col("component").as("keeper_id"), col("n_members"))
         .orderBy("component")
+    },
+
+    // X21c: QUALITY-keeper selection — production near-dup passes keep
+    // the BEST member of each cluster, not the smallest id. Keeper =
+    // argmax by (distinct-token count, token count, min doc_id): a
+    // lexical-richness proxy on EXACT integers, so the argmax can never
+    // tip on a float rounding boundary between engines. The argmax is a
+    // mergeable max-of-struct aggregation (the attribution_last_touch
+    // discipline — no per-cluster window over member lists), so a
+    // million-member pathological cluster costs one combiner slot, not
+    // a sort.
+    Q("cc_keep_best",
+      ccSql(
+        """, q AS (SELECT cc.component, cc.doc_id,
+          |  CAST(len(list_distinct(t.t)) AS BIGINT) AS nuniq,
+          |  CAST(len(t.t) AS BIGINT) AS ntok
+          |  FROM cc JOIN toks t USING (doc_id))
+          |SELECT component, doc_id AS keeper_id, nuniq AS keeper_nuniq,
+          |  n_members FROM (
+          |  SELECT component, doc_id, nuniq,
+          |    row_number() OVER (PARTITION BY component
+          |      ORDER BY nuniq DESC, ntok DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY component) AS n_members
+          |  FROM q) WHERE rn = 1 ORDER BY component""".stripMargin)) { (s, d) =>
+      val richness = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("nuniq"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      componentLabels(s, d)
+        .join(richness, "doc_id")
+        .groupBy("component")
+        .agg(
+          max(struct(col("nuniq"), col("ntok"), (-col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("best.nid")).as("keeper_id"),
+          col("best.nuniq").as("keeper_nuniq"), col("n_members"))
+        .orderBy("component")
+    },
+
+    // X21d: the APPLY step — the deduplicated corpus itself: every
+    // cluster collapses to its quality keeper, all other members drop.
+    // |keepers| = |clusters| ≪ |docs| after heavy duplication, so the
+    // keeper set attaches as a broadcast-friendly semi join; output is
+    // scan-shaped (doc rows pass through untouched).
+    Q("dedup_apply_keep_best",
+      ccSql(
+        """, q AS (SELECT cc.component, cc.doc_id,
+          |  CAST(len(list_distinct(t.t)) AS BIGINT) AS nuniq,
+          |  CAST(len(t.t) AS BIGINT) AS ntok
+          |  FROM cc JOIN toks t USING (doc_id)),
+          |keep AS (SELECT component, doc_id FROM (
+          |  SELECT component, doc_id,
+          |    row_number() OVER (PARTITION BY component
+          |      ORDER BY nuniq DESC, ntok DESC, doc_id) AS rn
+          |  FROM q) WHERE rn = 1)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |JOIN keep k ON k.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val richness = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("nuniq"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      val keepers = componentLabels(s, d)
+        .join(richness, "doc_id")
+        .groupBy("component")
+        .agg(max(struct(col("nuniq"), col("ntok"), (-col("doc_id")).as("nid"))).as("best"))
+        .select((-col("best.nid")).as("doc_id"))
+      Tables.documents(s, d)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     }
   )
 }

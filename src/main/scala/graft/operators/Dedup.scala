@@ -309,6 +309,56 @@ object Dedup {
         .join(corpus, col("fp") === col("cfp"), "left_anti")
         .select(col("doc_id"), col("fp").as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // X9b: per-doc n-gram NOVELTY — the fraction of a document's
+    // distinct 3-grams that first appear in THAT document (first
+    // appearance = smallest doc_id holding the gram; with ingest-ordered
+    // ids this is the "new content rate" crawl pipelines track to decide
+    // when a source has gone stale). Counts are exact integers; the only
+    // division is rounded once for display. Shapes: distinct (doc, gram)
+    // explode → gram-keyed min agg → gram-keyed join back → doc-keyed
+    // count agg — every shuffle is linear in distinct membership rows,
+    // same posture as the fingerprint family. Docs too short for a
+    // 3-gram stay on the spine with NULL novelty (0/0) in both engines.
+    Q("ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS g
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+        |pd AS (
+        |  SELECT s.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS BIGINT) AS n_novel
+        |  FROM sh s JOIN fs f USING (g) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_grams, 0) AS n_grams,
+        |  coalesce(pd.n_novel, 0) AS n_novel,
+        |  round(CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE), 9) AS novelty
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(TextFns.ngrams(col("text"), 3)).as("g"))
+        .distinct()
+      val firstSeen = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9)
+            .as("novelty"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -85,6 +85,56 @@ object Lexicon {
         .orderBy("doc_id")
     },
 
+    // X62b: per-language vocabulary NUCLEUS — the smallest
+    // frequency-ranked token set covering ≥90% of that language's token
+    // mass (the tokenizer-design statistic: how head-heavy is each
+    // language's distribution). Ranking ties break (count DESC, term
+    // ASC) like vocab_oov; the 90% threshold compares 10·cumsum ≥
+    // 9·total in EXACT integer arithmetic, so the cut index can never
+    // tip on a float boundary between engines. Shuffles: one (lang,
+    // term) hash agg, a |langs|-sized window spine, one final count —
+    // all linear in distinct terms, never in tokens.
+    Q("vocab_nucleus",
+      s"""WITH toks AS (
+         |  SELECT d.lang, unnest($duckToks) AS term FROM documents d),
+         |cnt AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term),
+         |tot AS (SELECT lang, sum(c) AS total, count(*) AS n_terms FROM cnt GROUP BY lang),
+         |run AS (
+         |  SELECT lang, term, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY c DESC, term
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cnt),
+         |nuc AS (
+         |  SELECT r.lang, count(*) AS nucleus_size
+         |  FROM run r JOIN tot t USING (lang)
+         |  WHERE (r.cum - r.c) * 10 < t.total * 9
+         |  GROUP BY r.lang)
+         |SELECT t.lang, t.n_terms, nuc.nucleus_size,
+         |  round(CAST(nuc.nucleus_size AS DOUBLE) / CAST(t.n_terms AS DOUBLE), 9) AS nucleus_frac
+         |FROM tot t JOIN nuc USING (lang) ORDER BY t.lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("lang")
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // a term is IN the nucleus iff the mass BEFORE it is still short
+      // of 90% — the first rank at-or-past the threshold is included,
+      // everything after excluded (same rule both engines, exact ints)
+      val nuc = cnt
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot), "lang")
+        .filter((col("cum") - col("c")) * 10 < col("total") * 9)
+        .groupBy("lang").agg(count(lit(1)).as("nucleus_size"))
+      tot.join(nuc, "lang")
+        .select(col("lang"), col("n_terms"), col("nucleus_size"),
+          round(col("nucleus_size").cast("double") / col("n_terms").cast("double"), 9)
+            .as("nucleus_frac"))
+        .orderBy("lang")
+    },
+
     // Inverted index: per term, document frequency, total term
     // frequency, and the first PostingCap doc ids (ascending) as a
     // comma-joined sample. The posting cap is a bounded heap keyed on
