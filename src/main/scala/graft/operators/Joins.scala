@@ -220,6 +220,28 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // X16 with a TOLERANCE bound (pandas merge_asof tolerance): the
+    // match must lie within 6 hours of the probe or it is discarded.
+    // Post-filtering the unbounded as-of is EXACT, not approximate: if
+    // the most recent prior purchase is older than the cutoff, every
+    // other candidate is older still, so the bounded window is empty —
+    // one when() on top of the same one-shuffle union+window plan.
+    Q("join_asof_tolerance",
+      """SELECT e.event_id,
+        |  (SELECT max(p.ts) FROM events p
+        |   WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 6 HOUR) AS asof_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      AsOfJoin.lastTimestamp(
+        ev, ev.filter(col("event_type") === "purchase"),
+        key = "user_id", leftTs = "ts", rightTs = "ts")
+        .select(col("event_id"),
+          when(col("asof_ts") >= col("ts") - expr("INTERVAL 6 HOURS"), col("asof_ts"))
+            .as("asof_ts"))
+        .orderBy("event_id")
+    },
+
     // G13 as-of, bucketed scale form (same oracle: results must be
     // identical to join_asof; user_id is exactly the ~tens-cardinality
     // key the bucketed variant exists for).

@@ -258,6 +258,59 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // X10b: language-ID CONFUSION MATRIX — the heuristic's predictions
+    // cross-tabulated against the labeled `lang` column (the eval step
+    // before trusting a classifier to route a corpus: which languages
+    // bleed into which). Same scored CTE as lang_id_heuristic, then one
+    // (label, prediction) hash agg with per-label recall as an exact
+    // count ratio rounded once. ~|langs|² output rows.
+    Q("lang_id_confusion",
+      s"""WITH pd AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${duckHitRatio(stopwords(0)._2)} AS s_en,
+         |    ${duckHitRatio(stopwords(1)._2)} AS s_fr,
+         |    ${duckHitRatio(stopwords(2)._2)} AS s_es,
+         |    ${duckHitRatio(stopwords(3)._2)} AS s_de
+         |  FROM pd),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |      WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'unknown' END AS lang_pred
+         |  FROM scored),
+         |cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred),
+         |tot AS (SELECT lang, sum(n) AS lang_total FROM cm GROUP BY lang)
+         |SELECT cm.lang, cm.lang_pred, cm.n,
+         |  round(CAST(cm.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE), 9) AS frac_of_label
+         |FROM cm JOIN tot t USING (lang)
+         |ORDER BY cm.lang, cm.lang_pred""".stripMargin) { (s, d) =>
+      val t = TextFns.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("lang"),
+        hitRatio(t, stopwords(0)._2).as("s_en"),
+        hitRatio(t, stopwords(1)._2).as("s_fr"),
+        hitRatio(t, stopwords(2)._2).as("s_es"),
+        hitRatio(t, stopwords(3)._2).as("s_de"))
+      val pred = scored.select(col("lang"),
+        when(col("s_en") > 0 && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_es") > 0 && col("s_es") >= col("s_de"), "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("unknown").as("lang_pred"))
+      val cm = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy("lang").agg(sum(col("n")).as("lang_total"))
+      cm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("lang_total").cast("double"), 9)
+            .as("frac_of_label"))
+        .orderBy("lang", "lang_pred")
+    },
+
     // Quality scoring: length / punctuation / stopword / repetition
     // signals composed into one score — the standard pre-training
     // corpus-filter shape (each signal is a cheap scan-local expression).
