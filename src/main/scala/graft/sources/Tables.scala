@@ -52,11 +52,28 @@ object Tables {
     * so per-file loads (e.g. unioning a mixed-encoding directory
     * file-by-file) reuse the exact same dispatch. */
   private[graft] def normalizeTs(raw: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
     import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     raw.schema(c).dataType match {
-      case LongType => // nanos-as-long legacy read: truncate to micros
-        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType =>
+        // nanos-as-long legacy read: truncate to micros. NANOS is the only
+        // int64 unit any fixture generation has shipped; a micros- or
+        // seconds-as-long regen would land here too and silently shift
+        // every timestamp 1000x, so guard with a plausibility check —
+        // after /1000 the value must be a micros epoch in [2000, 2100)
+        // (fixture dates are 1992-2026). Wrong-unit regens fail loudly.
+        val loBound = 946684800000000L      // 2000-01-01 as micros
+        val hiBound = 4102444800000000L     // 2100-01-01 as micros
+        raw.withColumn(c,
+          when(col(c).isNull, lit(null).cast("timestamp"))
+            .otherwise(expr(
+              s"""CASE WHEN ($c div 1000) BETWEEN ${loBound}L AND ${hiBound}L
+                 |  THEN timestamp_micros($c div 1000)
+                 |  ELSE raise_error(concat(
+                 |    '$c: int64 value ', CAST($c AS STRING),
+                 |    ' is not a nanos epoch in [2000,2100) — fixture regen',
+                 |    ' changed the long unit; update Tables.normalizeTs'))
+                 |END""".stripMargin)))
       case TimestampNTZType => // micros, no UTC adjustment: same wall-clock under UTC session tz
         raw.withColumn(c, col(c).cast(TimestampType))
       case DateType => // date-typed regen: midnight wall-clock, same day boundaries

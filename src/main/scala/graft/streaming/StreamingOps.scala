@@ -109,15 +109,45 @@ object StreamingOps {
   def readEventsStream(spark: SparkSession, sfDir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     val glob = s"$sfDir/events*.parquet"
-    val asRead = spark.read.parquet(glob).schema
+    // The probe freezes ONE encoding for the stream's lifetime: files
+    // later landing in the OTHER encoding (a mid-stream fixture regen)
+    // would fail or misparse. That trade is deliberate — a mixed-encoding
+    // directory is a broken ingest contract, and freezing on first sight
+    // fails loudly rather than silently blending units. When the glob
+    // matches nothing yet (stream defined before the first file lands —
+    // the production ingest shape) there is nothing to probe, so fall
+    // back to the current fixtures' declared shape (micros timestamp).
+    val asRead =
+      try spark.read.parquet(glob).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          defaultEventsSchema
+      }
     Tables.normalizeEventsTs(
       spark.readStream
         .schema(asRead)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         // glob, not a bare file path: the file stream source requires its
         // basePath to be a directory (new files matching the pattern are
-        // picked up as they land — the production ingest shape)
+        // picked up as they land)
         .parquet(glob))
+  }
+
+  /** Declared schema for `events` when no file exists to probe: the
+    * current fixture generation's shape (TIMESTAMP(MICROS), read as NTZ
+    * by Spark's no-UTC-adjustment inference — normalizeEventsTs casts it
+    * to session-zone micros, same as the probed path would). */
+  private[graft] val defaultEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
 
   /** G21+: UNBOUNDED synthetic event stream from Spark's rate source —
@@ -369,7 +399,7 @@ object StreamingOps {
 
   /** X36+/G24: STREAMING CDC APPLY — each micro-batch of change rows
     * (k, v, ts) is MERGED (upsert, last-writer-wins by ts then v) into
-    * a parquet snapshot via `foreachBatch`, the lakehouse ingestion
+    * a parquet snapshot via `foreachBatch` (X59), the lakehouse ingestion
     * shape when the sink has no native MERGE. Batch-local dedup first
     * (max-struct per key — an aggregation, no window), then a full-outer
     * apply against the current snapshot, written to a temp dir and

@@ -174,4 +174,61 @@ class EventsEncodingSpec extends AnyFunSuite {
     val expected = wall.map { case (id, ts, _, _, _, _) => (id, ts) }
     assert(got === (expected ++ expected).sorted)
   }
+
+  test("wrong-unit int64 time column fails loudly, not as silently shifted timestamps") {
+    // r08 advice: the long branch assumed nanos unconditionally, so a
+    // micros-as-long (or seconds-as-long) regen would divide every value
+    // by 1000 and shift all timestamps 1000x with no error. Pin the
+    // plausibility guard: after /1000 the value must land in [2000,2100)
+    // as a micros epoch, else raise_error.
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts;
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val dir = Files.createTempDirectory("events-micros-as-long").toString
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/events.parquet"), conf))
+      .withConf(conf)
+      .build()
+    val fac = new SimpleGroupFactory(schema)
+    try wall.foreach { case (id, ts, uid, typ, v, props) =>
+      val g = fac.newGroup()
+      g.append("event_id", id)
+      g.append("ts", utcEpochMicros(ts)) // micros stored where nanos belong
+      g.append("user_id", uid)
+      g.append("event_type", typ)
+      g.append("value", v)
+      g.append("props", props)
+      writer.write(g)
+    } finally writer.close()
+
+    val e = intercept[Throwable] {
+      Tables.events(spark, dir).select("ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not a nanos epoch")),
+      s"expected the wrong-unit guard to fire, got: ${e.getMessage}")
+  }
+
+  test("readEventsStream on an empty directory defines with the declared default schema") {
+    // r08 advice: the schema probe made stream definition throw when no
+    // file had landed yet — the production ingest shape the doc comment
+    // advertises. Pin the declared-schema fallback: definition succeeds,
+    // and the surfaced schema matches the batch loader's (normalized ts).
+    val dir = Files.createTempDirectory("events-stream-empty").toString
+    val stream = graft.streaming.StreamingOps.readEventsStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === TimestampType)
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
 }

@@ -42,15 +42,39 @@ def newest(pattern, below=None):
 META_KEYS = {"value", "n_queries", "reps", "shards", "n", "rc", "cpus", "sf"}
 
 
+def sf_of(path):
+    try:
+        with open(path) as f:
+            return json.load(f).get("sf")
+    except (OSError, ValueError):
+        return None
+
+
+def same_content(a, b):
+    try:
+        import hashlib
+        def h(p):
+            with open(p, "rb") as f:
+                return hashlib.sha256(f.read()).hexdigest()
+        return h(a) == h(b)
+    except OSError:
+        return False
+
+
 def medians(path):
-    """Per-query medians from any artifact shape: BENCH_SELF (query_detail
-    or queries), the raw bench stdout line (queries), or the driver's
-    wrapper (parsed.queries, falling back to scraping its truncated
-    `tail` string — better a partial baseline than none)."""
+    """Per-query times from any artifact shape. Prefers per-query MIN
+    (VERDICT r08 task 2: medians absorb co-tenant load spikes — doc_quality
+    published a 4.09 s median over runs [4.13, 4.09, 1.12]; the min is the
+    machine's actual capability and the honest regression key), falling
+    back to medians for artifacts predating min publication: BENCH_SELF
+    (query_detail or queries), the raw bench stdout line (queries), or the
+    driver's wrapper (parsed.queries / scraping its truncated `tail`)."""
     with open(path) as f:
         d = json.load(f)
     if "query_detail" in d:
-        return {k: v["median"] for k, v in d["query_detail"].items()}
+        return {k: v.get("min", v["median"]) if v.get("min", -1) >= 0
+                else v["median"]
+                for k, v in d["query_detail"].items()}
     if isinstance(d.get("queries"), dict):
         return dict(d["queries"])
     if isinstance(d.get("parsed"), dict) and isinstance(d["parsed"].get("queries"), dict):
@@ -73,11 +97,30 @@ def main():
             cur_n = int(m.group(1)) if m else None
         # prefer the pinned canonical clean run, then a prior
         # self-published artifact (complete, never truncated), then
-        # the driver's wrapper
-        if os.path.exists("BENCH_CANON.json"):
-            prev_path = "BENCH_CANON.json"
-        else:
-            prev_path, _ = newest("BENCH_SELF_r*.json", below=cur_n)
+        # the driver's wrapper. The canon is refreshed by cp-ing the
+        # newest BENCH_SELF into it, so when it is byte-identical to the
+        # current artifact (refresh-then-guard: comparing a run against
+        # itself can never flag) skip it for the prior-round BENCH_SELF.
+        prev_path = None
+        if os.path.exists("BENCH_CANON.json") and cur_path:
+            if same_content("BENCH_CANON.json", cur_path):
+                print("bench_guard: BENCH_CANON.json is identical to "
+                      f"{cur_path} (fresh refresh?) — using prior round instead")
+            elif sf_of("BENCH_CANON.json") != sf_of(cur_path):
+                print("bench_guard: BENCH_CANON.json is at sf="
+                      f"{sf_of('BENCH_CANON.json')} but {cur_path} is at "
+                      f"sf={sf_of(cur_path)} — cross-sf medians are not "
+                      "comparable, using prior same-sf round instead")
+            else:
+                prev_path = "BENCH_CANON.json"
+        if prev_path is None:
+            # walk back to the newest prior artifact at the SAME sf
+            n = cur_n
+            while True:
+                cand, n = newest("BENCH_SELF_r*.json", below=n)
+                if cand is None or sf_of(cand) == sf_of(cur_path):
+                    prev_path = cand
+                    break
         if prev_path is None:
             prev_path, _ = newest("BENCH_r*.json", below=cur_n)
     if not cur_path or not prev_path:
