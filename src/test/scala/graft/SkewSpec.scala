@@ -98,6 +98,71 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoinGated: salts the hot fixture, plain-joins the uniform one, same results") {
+    // VERDICT r08 task 3: the gate must SWITCH — measured skew decides,
+    // not a hardwired salt. Equality oracle on all branches is the plain
+    // join's aggregated result.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "64") {
+      def summarize(df: DataFrame): Seq[(Long, Long, Double)] =
+        df.groupBy("key")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("weight")).as("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            math.rint(r.getDouble(2) * 100) / 100)).toSeq.sortBy(_._1)
+
+      val threshold = 10000L
+
+      // skewed: hot key -1 carries ~300k rows ≫ threshold → hybrid path
+      val gatedSkewed = Skew.saltedJoinGated(skewedFacts, dim, "key",
+        saltBuckets = 32, saltSource = Seq("l_orderkey"),
+        hotKeyRowThreshold = threshold)
+      assert(gatedSkewed.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "gated join on the skewed fixture must take a salting branch")
+      assert(summarize(gatedSkewed) === summarize(skewedFacts.join(dim, Seq("key"))))
+
+      // uniform: same rows, key spread evenly over 1000 values (max
+      // rows/key ≈ 600 ≪ threshold) → plain-join branch, no salt anywhere
+      val uniformFacts = skewedFacts
+        .withColumn("key", pmod(col("l_orderkey"), lit(1000)))
+      val gatedUniform = Skew.saltedJoinGated(uniformFacts, dim, "key",
+        saltBuckets = 32, saltSource = Seq("l_orderkey"),
+        hotKeyRowThreshold = threshold)
+      assert(!gatedUniform.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "gated join on the uniform fixture must NOT pay the salting tax")
+      assert(summarize(gatedUniform) === summarize(uniformFacts.join(dim, Seq("key"))))
+
+      // degenerate cap: maxHotKeys=0 forces the everything-is-hot branch
+      // (uniformly heavy distribution) — full salt, still exact results
+      val gatedAllHot = Skew.saltedJoinGated(skewedFacts, dim, "key",
+        saltBuckets = 32, saltSource = Seq("l_orderkey"),
+        hotKeyRowThreshold = 1L, maxHotKeys = 0)
+      assert(gatedAllHot.queryExecution.optimizedPlan.toString.contains("__salt"))
+      assert(summarize(gatedAllHot) === summarize(skewedFacts.join(dim, Seq("key"))))
+    }
+  }
+
+  test("saltedJoinGated hybrid branch bounds the hot key's max task like full salting") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "64") {
+      val total = skewedFacts.count()
+      val hot = skewedFacts.filter(col("key") === -1L).count()
+      val buckets = 32
+      val gatedMax = maxTaskShuffleRecords {
+        Skew.saltedJoinGated(skewedFacts, dim, "key", buckets,
+            saltSource = Seq("l_orderkey"), hotKeyRowThreshold = 10000L)
+          .agg(sum(col("l_quantity") * col("weight"))).collect()
+      }
+      val ideal = hot / buckets + (total - hot) / 64
+      assert(gatedMax <= ideal * 4,
+        s"gated hybrid max task $gatedMax > 4x ideal $ideal — hot rows not spread")
+      info(s"sf0.1 gated skew join: total=$total hot=$hot gatedMaxTask=$gatedMax")
+    }
+  }
+
   test("AQE skew-join split engages on the same hot key (skew=true in plan)") {
     // thresholds lowered because sf0.1's hot partition is only ~600 KB
     // of lz4-compressed (key, double) shuffle blocks; production
