@@ -44,12 +44,23 @@ object Graph {
   private val Rounds = 3
 
   /** One PageRank step: rank' = (1−d)/N + d·Σ_in rank(src)/deg(src).
-    * The rank×deg side is |nodes| rows — broadcast it into the edge
-    * table (which stays partitioned where its checkpoint put it), so a
-    * round costs one map-side join + one partial/final agg; only the
-    * |nodes|-sized aggregate output shuffles. */
-  private def step(rank: DataFrame, sym: DataFrame, deg: DataFrame, nn: DataFrame): DataFrame =
-    sym.join(broadcast(rank.join(deg, "node")), col("src") === col("node"))
+    * The rank×deg side is |nodes| rows. When it fits the session's
+    * `autoBroadcastJoinThreshold` (~32 bytes/node: three numeric
+    * columns + row overhead), broadcast it into the edge table (which
+    * stays partitioned where its checkpoint put it) — a round is then
+    * one map-side join + one partial/final agg, and only the
+    * |nodes|-sized aggregate output shuffles. Above the threshold (a
+    * million-node graph does NOT fit an executor broadcast), fall back
+    * to a keyed shuffle join on src/node — both sides hash-partition on
+    * the node id, the standard Pregel-shape round (VERDICT r08 task 5).
+    * `nn` stays broadcast in both paths: it is one row. */
+  private def step(rank: DataFrame, sym: DataFrame, deg: DataFrame, nn: DataFrame,
+                   broadcastRanks: Boolean): DataFrame = {
+    val rd = rank.join(deg, "node")
+    val joined =
+      if (broadcastRanks) sym.join(broadcast(rd), col("src") === col("node"))
+      else sym.join(rd.hint("shuffle_hash"), col("src") === col("node"))
+    joined
       .select(col("dst"),
         (col("r") / col("deg")).cast(DecimalType(38, 18)).as("c"))
       .groupBy("dst").agg(sum(col("c")).as("s"))
@@ -57,6 +68,11 @@ object Graph {
       .select(col("dst").as("node"),
         (lit(Teleport) / col("nn") +
           lit(Damping) * col("s").cast("double")).as("r"))
+  }
+
+  /** Estimated broadcast bytes per node-rank row (node, r, deg longs/
+    * doubles + unsafe-row overhead). */
+  private val RankRowBytes = 32L
 
   /** Part co-order edge set: the X47 pair table (Associations — one
     * shared definition of the pair generator, persisted through
@@ -161,9 +177,24 @@ object Graph {
         sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       }.localCheckpoint()
       val nn = deg.agg(count(lit(1)).as("nn")).localCheckpoint()
+      // gate the per-round rank-table broadcast on the session's own
+      // autoBroadcastJoinThreshold (the same knob every other join
+      // honors): nodes × ~32 B vs threshold. The node count is already
+      // materialized in `nn`'s checkpoint — reading the scalar is free.
+      val nNodes = nn.head().getLong(0)
+      val bcastThreshold = {
+        val t = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        try t.toLong // plain byte count (the SQLConf default form) or -1
+        catch { case _: NumberFormatException => // "10MB"-style suffixed form
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
+        }
+      }
+      val broadcastRanks =
+        bcastThreshold > 0 && nNodes * RankRowBytes <= bcastThreshold
       val r0 = deg.crossJoin(broadcast(nn))
         .select(col("node"), (lit(1.0) / col("nn")).as("r"))
-      val r3 = (1 to Rounds).foldLeft(r0)((r, _) => step(r, sym, deg, nn))
+      val r3 = (1 to Rounds).foldLeft(r0)((r, _) =>
+        step(r, sym, deg, nn, broadcastRanks))
       r3.crossJoin(broadcast(nn))
         .select(
           when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),

@@ -37,4 +37,20 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_2hop") == n2.size, s"node $u 2-hop")
     }
   }
+
+  test("pagerank_trade: keyed-shuffle fallback path produces identical ranks") {
+    // VERDICT r08 task 5: the per-round rank-table broadcast is gated on
+    // autoBroadcastJoinThreshold; disabling broadcasts must flip the
+    // rounds to the shuffle join and change NOTHING about the output —
+    // the same operator has to survive a million-node graph where the
+    // rank table cannot be an executor broadcast.
+    val viaBroadcast = queries("pagerank_trade")(spark, sf0001).collect()
+    var viaShuffle: Array[org.apache.spark.sql.Row] = null
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      viaShuffle = queries("pagerank_trade")(spark, sf0001).collect()
+    }
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle.toSeq === viaBroadcast.toSeq,
+      "shuffle-path PageRank must match the broadcast path row-for-row")
+  }
 }
