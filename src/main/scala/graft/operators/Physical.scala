@@ -92,7 +92,13 @@ object Physical {
     * clustered in BOTH dimensions, so parquet footer min/max prunes
     * 2-D box queries — 1-D sorting can only ever prune one of them.
     * Quantization only affects placement, never results. */
-  def zorderEvents(events: DataFrame, nParts: Int): DataFrame = {
+  /** The quantize+interleave half of [[zorderEvents]], exposed so the
+    * morton key itself is oracle-able as a scalar (VERDICT r08 task 8):
+    * 16-bit quantization of both dimensions against global min/max,
+    * then [[InterleaveBitsEval]]. Pure integer/IEEE math — DuckDB
+    * reproduces it bit-for-bit (trunc-toward-zero casts, the same
+    * magic-mask spread cascade). */
+  def zorderQuantize(events: DataFrame): DataFrame = {
     val g = events.agg(
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
       min(col("value")).as("vmin"), max(col("value")).as("vmax"))
@@ -103,9 +109,12 @@ object Physical {
         ((col("user_id") - col("umin")).cast("double") * 65535.0 / uSpan).cast("long"))
       .withColumn("vb", ((col("value") - col("vmin")) * 65535.0 / vSpan).cast("long"))
       .withColumn("z", InterleaveBitsEval(col("ub"), col("vb")))
+  }
+
+  def zorderEvents(events: DataFrame, nParts: Int): DataFrame =
+    zorderQuantize(events)
       .repartitionByRange(nParts, col("z"))
       .sortWithinPartitions("z")
-  }
 
   def all: Seq[Q] = Seq(
 
@@ -133,6 +142,45 @@ object Physical {
         .repartitionByRange(8, col("ngram"))
         .sortWithinPartitions("ngram")
         .select(spark_partition_id().as("pid"), col("ngram"), col("cnt"))
+    },
+
+    // X27 (oracled, VERDICT r08 task 8): the morton key itself as a
+    // scalar — 16-bit quantization of (user_id, value) against global
+    // min/max, then the parallel bit-spread interleave. DuckDB rebuilds
+    // the identical integer cascade (inputs are ≤16 bits, so the spread
+    // needs three mask steps fewer than the expression's 32-bit form —
+    // same result on this domain); CAST(trunc() AS BIGINT) mirrors
+    // Spark's truncate-toward-zero double→long cast. This oracles the
+    // InterleaveBitsExpr codegen path end-to-end; the LAYOUT (range
+    // partition + sort by z) stays pinned structurally in ZOrderSpec.
+    Q("zorder_keys",
+      """WITH g AS (
+        |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |         min(value) AS vmin, max(value) AS vmax FROM events),
+        |q AS (
+        |  SELECT e.event_id,
+        |    CAST(trunc(CAST(e.user_id - g.umin AS DOUBLE) * 65535.0 /
+        |      greatest(CAST(g.umax - g.umin AS DOUBLE), 1.0)) AS BIGINT) AS ub,
+        |    CAST(trunc((e.value - g.vmin) * 65535.0 /
+        |      greatest(g.vmax - g.vmin, 1e-9)) AS BIGINT) AS vb
+        |  FROM events e, g),
+        |s1 AS (SELECT event_id, ub, vb,
+        |    (ub | (ub << 8)) & 16711935 AS ua,
+        |    (vb | (vb << 8)) & 16711935 AS va FROM q),
+        |s2 AS (SELECT event_id, ub, vb,
+        |    (ua | (ua << 4)) & 252645135 AS ua,
+        |    (va | (va << 4)) & 252645135 AS va FROM s1),
+        |s3 AS (SELECT event_id, ub, vb,
+        |    (ua | (ua << 2)) & 858993459 AS ua,
+        |    (va | (va << 2)) & 858993459 AS va FROM s2),
+        |s4 AS (SELECT event_id, ub, vb,
+        |    (ua | (ua << 1)) & 1431655765 AS ua,
+        |    (va | (va << 1)) & 1431655765 AS va FROM s3)
+        |SELECT event_id, ub, vb, ua | (va << 1) AS z
+        |FROM s4 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Physical.zorderQuantize(Tables.events(s, d))
+        .select("event_id", "ub", "vb", "z")
+        .orderBy("event_id")
     },
 
     // X27 (rows-only): per-partition 2-D bounding boxes of the z-order

@@ -153,6 +153,52 @@ object Sequences {
             hll_union_agg(when(col("od") === col("d"), col("sk")))), lit(0L)).as("dau_est"),
           coalesce(hll_sketch_estimate(hll_union_agg(col("sk"))), lit(0L)).as("wau7_est"))
         .orderBy("day")
+    },
+
+    // X73 (oracled, VERDICT r08 task 8): the sketch-vs-exact BOUND as a
+    // driver-checked query — every day where the HLL estimate deviates
+    // more than 5% (≈3σ at lgK=12) from the exact rolling distinct.
+    // Expected result: ZERO rows, and that emptiness IS the oracle-able
+    // claim (the estimates themselves are engine-specific, but "no day
+    // violates the bound" is exact). The exact side is the same
+    // contribution-explode pipeline the driver already hash-verifies as
+    // rolling_active_users; a sketch regression (wrong lgK, broken
+    // union, dropped day) surfaces as rows here → row-count mismatch.
+    Q("hll_rolling_bound",
+      """SELECT CAST(NULL AS DATE) AS day,
+        |  CAST(NULL AS DOUBLE) AS dau_rel_err,
+        |  CAST(NULL AS DOUBLE) AS wau7_rel_err
+        |WHERE false""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+      val du = ev.distinct()
+      val days = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val exact = du.select(col("day").as("od"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("d"),
+          col("user_id"))
+        .join(days, Seq("d"), "right")
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct(when(col("od") === col("d"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau7"))
+      val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily.select(col("day").as("od"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("d"),
+          col("sk"))
+        .join(days, Seq("d"), "right")
+        .groupBy(col("d").as("day"))
+        .agg(
+          coalesce(hll_sketch_estimate(
+            hll_union_agg(when(col("od") === col("d"), col("sk")))), lit(0L)).as("dau_est"),
+          coalesce(hll_sketch_estimate(hll_union_agg(col("sk"))), lit(0L)).as("wau7_est"))
+      exact.join(est, "day")
+        .select(col("day"),
+          (abs(col("dau_est") - col("dau")).cast("double") /
+            greatest(col("dau"), lit(1L))).as("dau_rel_err"),
+          (abs(col("wau7_est") - col("wau7")).cast("double") /
+            greatest(col("wau7"), lit(1L))).as("wau7_rel_err"))
+        .filter(col("dau_rel_err") > 0.05 || col("wau7_rel_err") > 0.05)
+        .orderBy("day")
     }
   )
 }
