@@ -43,7 +43,7 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
-  /** JSONL (one JSON object per line) — the interchange format LLM
+  /** G24b: JSONL (one JSON object per line) — the interchange format LLM
     * corpora ship in (one doc per line, splittable by newline, no
     * footer). Spark's json sink IS jsonl: each row becomes one compact
     * JSON object line; binary columns serialize as base64. */
@@ -65,7 +65,7 @@ object Sinks {
     * as NULL. This is the ingest-directory shape (appending producers
     * add columns over time); footer merging opens every file's footer,
     * so at warehouse scale the catalog carries the evolved schema and
-    * `mergeSchema` stays off the hot path. */
+    * `mergeSchema` stays off the hot path. (X60) */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 

@@ -59,6 +59,48 @@ class ReadmeIndexSpec extends AnyFunSuite {
     }
   }
 
+  // VERDICT r08 task 9: SURVEY §2b rows implemented OUTSIDE the query
+  // registry (streaming ingest, sinks, the CLI) — each must still be
+  // traceable to a tagged main-source comment; everything else must be
+  // covered by a registered query's survey-row tag.
+  private val NoRegistryRows = Map(
+    "G21" -> "streaming/StreamingOps.scala",
+    "G23" -> "streaming/StreamingOps.scala",
+    "G24" -> "sources/Sinks.scala",
+    "G24b" -> "sources/Sinks.scala",
+    "G33" -> "WordCount.scala",
+    "X59" -> "streaming/StreamingOps.scala",
+    "X60" -> "sources/Sinks.scala")
+
+  test("every SURVEY §2b row ID is attributed to a registered query or a pinned surface") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(root.resolve("SURVEY.md")), "UTF-8")
+    val rowIds = "(?m)^\\| ([GX]\\d{1,2}[a-z]?)\\b".r
+      .findAllMatchIn(survey).map(_.group(1)).toSeq
+    assert(rowIds.size >= 115, s"SURVEY §2b row table shrank to ${rowIds.size} rows?")
+
+    val tags = tableRows.map(_._1).toSet
+    // a finer-grained sub-tag (X40a…X40d) covers its base row (X40);
+    // a base tag never covers a suffixed row (G24 does not cover G24b)
+    def covered(id: String) =
+      tags.contains(id) || tags.exists(t => t.length == id.length + 1 &&
+        t.startsWith(id) && t.last.isLetter)
+
+    val missing = rowIds.filterNot { id =>
+      covered(id) || (NoRegistryRows.get(id) match {
+        case Some(file) =>
+          val src = new String(java.nio.file.Files.readAllBytes(
+            root.resolve(s"src/main/scala/graft/$file")), "UTF-8")
+          src.contains(id)
+        case None => false
+      })
+    }
+    assert(missing.isEmpty,
+      s"SURVEY §2b rows with no query attribution and no pinned surface: " +
+        s"${missing.mkString(",")} — tag the owning query's doc comment or " +
+        "add a TAG_OVERRIDES entry in tools/readme_index.py, then regenerate")
+  }
+
   test("README oracle column matches oracleSql registration") {
     val oracled = SparkEntry.oracleSql.keySet
     tableRows.foreach { case (_, name, oracle, _) =>
