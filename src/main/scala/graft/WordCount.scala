@@ -22,14 +22,116 @@ import org.apache.spark.sql.functions.col
   * files, one per bucket, which concatenate to a globally sorted file —
   * byte-compatible with the reference's reducer outputs.
   *
-  * A user of the reference switches by replacing the `hadoop jar`
+  * G33: a user of the reference switches by replacing the `hadoop jar`
   * invocation; input/output dirs and the optional n keep their meaning
   * (numParts generalizes the reference's hardcoded reducer count).
   */
 object WordCount {
+
+  /** VERDICT r08 task 7: the wholetext envelope (each FILE = one row in
+    * one task, ≤ ~2 GB) made a multi-GB single file fatal. This
+    * pre-pass rewrites any input file larger than `maxBytes` into
+    * line-boundary chunks of ~`maxBytes` each, carrying an
+    * (n−1)-TOKEN OVERLAP: each continuation chunk is prefixed with the
+    * last n−1 normalized tokens of its predecessor. N-gram counting is
+    * then EXACT under the chunking — an n-gram starting at token i
+    * belongs to the chunk whose own tokens contain i; the n−1 carried
+    * tokens admit exactly the boundary-spanning n-grams (no window of n
+    * tokens fits inside an n−1-token prefix, so nothing double-counts).
+    * Output is therefore byte-identical to the unsplit run
+    * (WordCountCliSpec pins it).
+    *
+    * Small files are symlinked into the staging dir untouched (fallback
+    * copy where the FS forbids links). Streaming line-wise: driver
+    * memory is bounded by one line, not one file. A single LINE longer
+    * than `maxBytes` is flushed whole once it exceeds the budget —
+    * pathological no-newline files keep the old envelope (split
+    * upstream at whitespace), documented rather than silently wrong. */
+  private[graft] def splitLargeFiles(input: String, maxBytes: Long, n: Int): String = {
+    import java.nio.file.{Files, Paths, Path, StandardOpenOption}
+    val inDir = Paths.get(input)
+    val stage = Files.createTempDirectory("graft_wc_split")
+    // the same normalization as TextFns.normalize/rawTokens: strip
+    // non-alphanumerics, lowercase, split on whitespace runs
+    def toks(line: String): Array[String] =
+      line.replaceAll("[^a-zA-Z0-9\\s]+", "").toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+    def splitOne(f: Path): Unit = {
+      val base = f.getFileName.toString
+      var part = 0
+      var written = 0L
+      var carry: Seq[String] = Nil // last n-1 tokens written so far
+      var w: java.io.BufferedWriter = null
+      def open(): Unit = {
+        val p = stage.resolve(f"$base.graftsplit$part%04d")
+        w = Files.newBufferedWriter(p, StandardOpenOption.CREATE_NEW)
+        part += 1
+        written = 0L
+        if (carry.nonEmpty) { // the (n-1)-token overlap prefix
+          val pre = carry.mkString(" ")
+          w.write(pre); w.write("\n")
+          written += pre.length + 1L
+        }
+      }
+      val r = Files.newBufferedReader(f)
+      try {
+        open()
+        var line = r.readLine()
+        while (line != null) {
+          if (written > maxBytes) { w.close(); open() }
+          w.write(line); w.write("\n")
+          written += line.length + 1L
+          val t = toks(line)
+          carry = if (n == 1) Nil
+            else if (t.length >= n - 1) t.takeRight(n - 1).toSeq
+            else (carry ++ t).takeRight(n - 1)
+          line = r.readLine()
+        }
+      } finally { r.close(); if (w != null) w.close() }
+    }
+    val listing = Files.list(inDir)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f)) {
+          if (Files.size(f) > maxBytes) splitOne(f)
+          else {
+            val link = stage.resolve(f.getFileName.toString)
+            try Files.createSymbolicLink(link, f.toAbsolutePath)
+            catch { case _: Exception => Files.copy(f, link) }
+          }
+        }
+      }
+    } finally listing.close()
+    stage.toString
+  }
+
   def main(args: Array[String]): Unit = {
+    // optional --max-file-bytes=N (or --max-file-bytes N) enables the
+    // splitting pre-pass; positional args keep the reference's contract
+    var maxFileBytes: Option[Long] = None
+    val positional = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case s if s.startsWith("--max-file-bytes=") =>
+            maxFileBytes = Some(s.stripPrefix("--max-file-bytes=").toLong)
+          case "--max-file-bytes" =>
+            i += 1; maxFileBytes = Some(args(i).toLong)
+          case other => buf += other
+        }
+        i += 1
+      }
+      buf.toArray
+    }
+    wordCountMain(positional, maxFileBytes)
+  }
+
+  private def wordCountMain(args: Array[String], maxFileBytes: Option[Long]): Unit = {
     require(args.length >= 2,
-      "usage: WordCount <input-text-dir> <output-dir> [n=3] [numParts=7]")
+      "usage: WordCount [--max-file-bytes=N] <input-text-dir> <output-dir> [n=3] [numParts=7]")
     val Array(input, output) = args.take(2)
     // tolerant parse like the reference (reference/WordCount.java:129-136):
     // a malformed n falls back to the default 3 with a warning, so a
@@ -54,11 +156,16 @@ object WordCount {
     // Operating envelope: wholetext materializes each file as ONE row
     // in one task, so per-FILE size is bounded by task memory (and
     // hard-capped near 2 GB by the JVM array limit) — right for the
-    // reference's e-book corpus (many files, each modest); a corpus of
-    // multi-GB single files should be split upstream or fed through
-    // the documents-table pipeline, which this CLI wraps
+    // reference's e-book corpus (many files, each modest). For a corpus
+    // of larger single files pass --max-file-bytes: the
+    // [[splitLargeFiles]] pre-pass chunks oversized files with an
+    // (n−1)-token overlap, keeping counts (and output bytes) identical.
+    val effectiveInput = maxFileBytes match {
+      case Some(mb) => splitLargeFiles(input, mb, n)
+      case None => input
+    }
     val counts = TextPipeline.ngramCountUnsorted(
-      spark.read.option("wholetext", "true").text(input), "value", n)
+      spark.read.option("wholetext", "true").text(effectiveInput), "value", n)
     Sinks.writeTsv(
       counts
         .repartition(numParts, Physical.referencePlacement(col("ngram"), numParts))

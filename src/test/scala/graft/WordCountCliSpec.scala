@@ -55,6 +55,42 @@ class WordCountCliSpec extends AnyFunSuite {
     assert(partLines(out).flatten == Seq("x y z\t1", "y z w\t1"))
   }
 
+  test("--max-file-bytes split run is byte-identical to the unsplit run") {
+    spark
+    // VERDICT r08 task 7: a file far larger than one task's comfortable
+    // memory must survive via the splitting pre-pass, with output
+    // byte-identical to the wholetext run. Scaled-down here: a ~120 KB
+    // file split into ~8 KB chunks (the chunk/overlap math is
+    // size-invariant; the spec pins the SEMANTICS, the envelope comment
+    // documents the scale intent).
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val text = (1 to 2000).map { _ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    }.mkString("\n")
+    val in = Files.createTempDirectory("graft-cli-insplit")
+    Files.write(in.resolve("big.txt"), text.getBytes("UTF-8"))
+    // plus a small file that must pass through untouched (symlink path)
+    Files.write(in.resolve("small.txt"), "alpha beta gamma".getBytes("UTF-8"))
+
+    val outPlain = Files.createTempDirectory("graft-cli-outsplit").resolve("plain").toString
+    val outSplit = Files.createTempDirectory("graft-cli-outsplit2").resolve("split").toString
+    WordCount.main(Array(in.toString, outPlain, "3", "7"))
+    WordCount.main(Array("--max-file-bytes=8192", in.toString, outSplit, "3", "7"))
+    val plain = partLines(outPlain)
+    val split = partLines(outSplit)
+    assert(split == plain,
+      "split run must reproduce the unsplit run's part files byte-for-byte")
+    // sanity: the splitter actually split (staging had >1 chunk), i.e.
+    // the equality above is not vacuous
+    val chunks = WordCount.splitLargeFiles(in.toString, 8192, 3)
+    val staged = Files.list(Paths.get(chunks)).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(staged.count(_.contains("graftsplit")) > 5, s"expected many chunks, got $staged")
+    assert(staged.contains("small.txt"))
+  }
+
   test("CLI n=1 word-count fast path with default partitioning") {
     spark
     val in = Files.createTempDirectory("graft-cli-in1")
