@@ -61,6 +61,10 @@ object ScaleStress {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOT dead config on micros fixtures (it is a no-op there): this flag
+      // is what makes a TIMESTAMP(NANOS) fixture regen READABLE at all —
+      // Spark 4 otherwise rejects the parquet type, while with the flag it
+      // reads as int64 and Tables.normalizeTs routes it adaptively.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

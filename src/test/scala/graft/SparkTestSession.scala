@@ -10,7 +10,11 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      // NOT dead config on micros fixtures (it is a no-op there): this flag
+      // is what makes a TIMESTAMP(NANOS) fixture regen READABLE at all —
+      // Spark 4 otherwise rejects the parquet type, while with the flag it
+      // reads as int64 and Tables.normalizeTs routes it adaptively.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
