@@ -12,9 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * the same events parquet must equal the batch run of the same
   * transform; watermark drops late data; streaming dedup is stateful
   * within the watermark. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
+
+  // VERDICT r08 task 4: the whole suite — CDC replay, TTL eviction,
+  // sessionization, dedup, checkpoint restarts — runs against the
+  // RocksDB state store provider, the 100 TB posture (state no longer
+  // bounded by executor heap; changelog checkpointing shape). The X33
+  // tests set it explicitly too (transformWithState requires it);
+  // suites run sequentially in the forked test JVM, so the session-wide
+  // default here cannot race another suite.
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private var savedProvider: Option[String] = None
+  override protected def beforeAll(): Unit = {
+    savedProvider = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+  override protected def afterAll(): Unit = savedProvider match {
+    case Some(v) => spark.conf.set(ProviderKey, v)
+    case None => spark.conf.unset(ProviderKey)
+  }
 
   private var sinkN = 0
 
