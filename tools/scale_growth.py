@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query scale-growth report (VERDICT r08 task 1).
+
+Compares a 10x-fixture bench artifact against a same-binary sf0.1
+artifact and flags any query whose PER-ROW cost grew more than
+THRESHOLD x: a linearly-scaling query costs ~copies x the sf0.1 time,
+so growth = t_big / (copies * t_small). Times are per-query min-of-reps
+(the regression key; medians absorb co-tenant spikes).
+
+Queries whose OUTPUT is itself superlinear under replication (pair
+emitters over near-dup clusters: the replicas are near-duplicates BY
+DESIGN of the scale fixture) are listed separately via KNOWN_SUPERLINEAR
+rather than silently excused — the report prints their growth too.
+
+Usage: python3 tools/scale_growth.py BIG.json SMALL.json [copies=10]
+Exit 1 if any non-known query exceeds THRESHOLD.
+"""
+import json
+import sys
+
+THRESHOLD = 3.0
+MIN_SEC = 0.15  # both minima under this: constant-cost query, not a signal
+
+# pair/cluster emitters whose result SET grows superlinearly when every
+# doc gains `copies-1` near-duplicates (the fixture's perturbed replicas)
+KNOWN_SUPERLINEAR = {
+    "minhash_near_dup_pairs", "simhash_near_dup_pairs", "minhash_calibration",
+    "embedding_near_dup_lsh", "embedding_near_dup_by_label", "simjoin_prefix",
+    "jaccard_adjacent", "cc_components", "cc_clusters", "cc_keep_best",
+    "dedup_apply_keep_best", "best_match_fuzzy", "contamination_matrix",
+}
+
+
+def mins(path):
+    with open(path) as f:
+        d = json.load(f)
+    det = d.get("query_detail", {})
+    out = {}
+    for k, v in det.items():
+        m = v.get("min", v.get("median", -1))
+        out[k] = m if m is not None else -1
+    return out, d
+
+
+def main():
+    big_path, small_path = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    big, dbig = mins(big_path)
+    small, _ = mins(small_path)
+    flagged, known, failed = [], [], []
+    for name in sorted(big):
+        tb, ts = big[name], small.get(name)
+        if tb < 0:
+            failed.append(name)
+            continue
+        if ts is None or ts < 0:
+            continue
+        if tb < MIN_SEC * copies and ts < MIN_SEC:
+            continue
+        growth = tb / (copies * max(ts, 1e-3))
+        if growth > THRESHOLD:
+            (known if name in KNOWN_SUPERLINEAR else flagged).append((name, ts, tb, growth))
+    print(f"scale_growth: {big_path} ({dbig.get('n_queries')} queries, "
+          f"sf={dbig.get('sf')}) vs {small_path} at copies={copies}: "
+          f"{len(failed)} failed, {len(flagged)} flagged >{THRESHOLD}x per-row, "
+          f"{len(known)} known-superlinear emitters")
+    for name in failed:
+        print(f"  FAILED {name}: threw at 10x")
+    for name, ts, tb, g in sorted(flagged, key=lambda x: -x[3]):
+        print(f"  FLAG {name}: {ts:.3f}s -> {tb:.3f}s ({g:.2f}x per-row)")
+    for name, ts, tb, g in sorted(known, key=lambda x: -x[3]):
+        print(f"  known {name}: {ts:.3f}s -> {tb:.3f}s ({g:.2f}x per-row, output-superlinear)")
+    sys.exit(1 if (flagged or failed) else 0)
+
+
+if __name__ == "__main__":
+    main()
