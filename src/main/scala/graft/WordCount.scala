@@ -56,6 +56,22 @@ object WordCount {
     def toks(line: String): Array[String] =
       line.replaceAll("[^a-zA-Z0-9\\s]+", "").toLowerCase
         .split("\\s+").filter(_.nonEmpty)
+    // UTF-8 byte length without materializing the encoded array — the
+    // budget the flag enforces is TASK MEMORY, and wholetext holds the
+    // chunk's BYTES, so accounting in chars would let multi-byte-heavy
+    // text overshoot maxBytes up to ~3-4x (r09 advice)
+    def utf8Len(s: String): Long = {
+      var i = 0; var b = 0L
+      while (i < s.length) {
+        val c = s.charAt(i)
+        b += (if (c < 0x80) 1 else if (c < 0x800) 2
+              else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+                       Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
+              else 3)
+        i += 1
+      }
+      b
+    }
     def splitOne(f: Path): Unit = {
       val base = f.getFileName.toString
       var part = 0
@@ -70,17 +86,25 @@ object WordCount {
         if (carry.nonEmpty) { // the (n-1)-token overlap prefix
           val pre = carry.mkString(" ")
           w.write(pre); w.write("\n")
-          written += pre.length + 1L
+          written += utf8Len(pre) + 1L
         }
       }
-      val r = Files.newBufferedReader(f)
+      // REPLACE-on-malformed decoding, matching spark.read.text's
+      // tolerance: Files.newBufferedReader's strict decoder throws
+      // MalformedInputException on e.g. Latin-1 e-books, making the
+      // split path crash on corpora the unsplit path handles (r09 advice)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(Files.newInputStream(f), dec))
       try {
         open()
         var line = r.readLine()
         while (line != null) {
           if (written > maxBytes) { w.close(); open() }
           w.write(line); w.write("\n")
-          written += line.length + 1L
+          written += utf8Len(line) + 1L
           val t = toks(line)
           carry = if (n == 1) Nil
             else if (t.length >= n - 1) t.takeRight(n - 1).toSeq
@@ -164,12 +188,30 @@ object WordCount {
       case Some(mb) => splitLargeFiles(input, mb, n)
       case None => input
     }
-    val counts = TextPipeline.ngramCountUnsorted(
-      spark.read.option("wholetext", "true").text(effectiveInput), "value", n)
-    Sinks.writeTsv(
-      counts
-        .repartition(numParts, Physical.referencePlacement(col("ngram"), numParts))
-        .sortWithinPartitions("ngram"),
-      output)
+    try {
+      val counts = TextPipeline.ngramCountUnsorted(
+        spark.read.option("wholetext", "true").text(effectiveInput), "value", n)
+      Sinks.writeTsv(
+        counts
+          .repartition(numParts, Physical.referencePlacement(col("ngram"), numParts))
+          .sortWithinPartitions("ngram"),
+        output)
+    } finally if (maxFileBytes.isDefined) deleteRecursively(effectiveInput)
+  }
+
+  /** The staging dir from [[splitLargeFiles]] is a near-full copy of an
+    * oversized corpus — leaking one per run fills the temp FS (r09
+    * advice). The CLI owns the session lifecycle, so delete it once the
+    * job is done (symlinks are removed as links, never followed). */
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val s = Files.walk(Paths.get(dir))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case e: Exception =>
+      System.err.println(s"WARN: could not clean staging dir $dir: ${e.getMessage}")
+    }
   }
 }

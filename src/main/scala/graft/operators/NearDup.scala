@@ -212,6 +212,35 @@ object NearDup {
           round(avg(abs(col("err"))), 6).as("mean_abs_err"),
           round(max(abs(col("err"))), 6).as("max_abs_err"))
     },
+    // X75 (oracled, VERDICT r09 task 7): the calibration BOUND as a
+    // driver-checked query, mirroring hll_rolling_bound — every LSH
+    // candidate pair whose MinHash estimate deviates more than 0.45
+    // (5σ at K=32: σ = √(J(1−J)/32) ≤ 0.0884) from the exact 3-gram
+    // Jaccard. Expected result: ZERO rows, and that emptiness IS the
+    // oracle-able claim — the estimates are engine-specific, but "no
+    // candidate pair violates 5σ" is exact (signatures are
+    // deterministic under the fixed seed, so this is a reproducible
+    // invariant, not a flaky tail event; measured max at sf0.01 is
+    // 0.168). A broken hash family, banding bug, or gram-set drift
+    // surfaces here as a row-count mismatch.
+    Q("minhash_calibration_bound",
+      """SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+        |  CAST(NULL AS DOUBLE) AS abs_err
+        |WHERE false""".stripMargin) { (s, d) =>
+      val docs = withPlantedDups(Tables.documents(s, d))
+      val cand = minhashPairs(docs, 0.0, idx = Some((s, d)), corpusName = "planted")
+      val grams = docs.select(col("doc_id"),
+        array_distinct(TextFns.ngrams(col("text"), 3)).as("g"))
+      val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
+      val union = (size(col("g1")) + size(col("g2"))).cast("double") - inter
+      cand
+        .join(grams.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
+        .join(grams.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
+        .select(col("id1"), col("id2"),
+          abs(col("est_jaccard") - try_divide(inter, union)).as("abs_err"))
+        .filter(col("abs_err") > 0.45)
+        .orderBy("id1", "id2")
+    },
     Q.noOracle("simhash_signatures") { (s, d) =>
       simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
     },

@@ -52,28 +52,27 @@ object Tables {
     * so per-file loads (e.g. unioning a mixed-encoding directory
     * file-by-file) reuse the exact same dispatch. */
   private[graft] def normalizeTs(raw: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     raw.schema(c).dataType match {
       case LongType =>
         // nanos-as-long legacy read: truncate to micros. NANOS is the only
         // int64 unit any fixture generation has shipped; a micros- or
         // seconds-as-long regen would land here too and silently shift
-        // every timestamp 1000x, so guard with a plausibility check —
-        // after /1000 the value must be a micros epoch in [2000, 2100)
-        // (fixture dates are 1992-2026). Wrong-unit regens fail loudly.
-        val loBound = 946684800000000L      // 2000-01-01 as micros
-        val hiBound = 4102444800000000L     // 2100-01-01 as micros
-        raw.withColumn(c,
-          when(col(c).isNull, lit(null).cast("timestamp"))
-            .otherwise(expr(
-              s"""CASE WHEN ($c div 1000) BETWEEN ${loBound}L AND ${hiBound}L
-                 |  THEN timestamp_micros($c div 1000)
-                 |  ELSE raise_error(concat(
-                 |    '$c: int64 value ', CAST($c AS STRING),
-                 |    ' is not a nanos epoch in [2000,2100) — fixture regen',
-                 |    ' changed the long unit; update Tables.normalizeTs'))
-                 |END""".stripMargin)))
+        // every timestamp 1000x, so guard with a plausibility check:
+        // after /1000 the value must be a micros epoch in [1990, 2100)
+        // (fixture dates are 1992-2026; 1990 lower bound so a nanos regen
+        // of the 1992-era TPC-H date columns stays legit — nanos vs
+        // micros/seconds are 3 orders of magnitude apart, so wrong-unit
+        // detection is unaffected). Wrong-unit regens fail loudly.
+        //
+        // The check is a LOAD-TIME invariant, not a row invariant (r09
+        // verdict task 4): probe min/max ONCE per distinct scan at loader
+        // build — parquet footer stats make this a metadata-only job —
+        // instead of a per-row CASE+raise_error that every downstream
+        // query re-evaluates on every scan of the column.
+        probeLongUnit(raw, c)
+        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       case TimestampNTZType => // micros, no UTC adjustment: same wall-clock under UTC session tz
         raw.withColumn(c, col(c).cast(TimestampType))
       case DateType => // date-typed regen: midnight wall-clock, same day boundaries
@@ -82,6 +81,35 @@ object Tables {
       case other =>
         throw new IllegalStateException(
           s"$c read as unsupported type $other; expected BIGINT (nanos), DATE, TIMESTAMP_NTZ or TIMESTAMP")
+    }
+  }
+
+  private val loBoundMicros = 631152000000000L   // 1990-01-01 as micros
+  private val hiBoundMicros = 4102444800000000L  // 2100-01-01 as micros
+
+  /** Once-per-scan wrong-unit probe for int64 time columns, memoized on
+    * the analyzed plan's semantic hash so repeated loads of the same
+    * path (every query re-calls the loader) pay zero jobs after the
+    * first. On a plain parquet scan the min/max aggregate is served
+    * from footer statistics (PushedAggregation) — no data pages read. */
+  private val probedLongScans =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def probeLongUnit(raw: DataFrame, c: String): Unit = {
+    val key = raw.queryExecution.analyzed.semanticHash().toString + "#" + c
+    if (!probedLongScans.contains(key)) {
+      val row = raw.selectExpr(s"min(`$c`) AS mn", s"max(`$c`) AS mx").head()
+      Seq(0, 1).foreach { i =>
+        if (!row.isNullAt(i)) {
+          val micros = row.getLong(i) / 1000L
+          if (micros < loBoundMicros || micros > hiBoundMicros)
+            throw new IllegalStateException(
+              s"$c: int64 value ${row.getLong(i)} is not a nanos epoch in " +
+                "[1990,2100) — fixture regen changed the long unit; " +
+                "update Tables.normalizeTs")
+        }
+      }
+      probedLongScans.add(key)
     }
   }
 

@@ -96,6 +96,14 @@ class EventsEncodingSpec extends AnyFunSuite {
     val expected = wall.map { case (id, ts, _, _, _, _) => (id, ts) }
     assert(tsStrings(nanosDir) === expected) // …789 ns residue truncated, not rounded
     assert(tsStrings(microsDir) === expected)
+
+    // r09 verdict task 4: the wrong-unit guard is a load-time probe, not
+    // a per-row CASE — the scan plan must carry no raise_error branch in
+    // the ts projection (every downstream query would re-pay it per row).
+    val plan = Tables.events(spark, nanosDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("raise_error"),
+      "ts normalization must not leave a per-row raise_error in the plan")
   }
 
   test("current driver fixture loads as TimestampType with rows") {
@@ -179,8 +187,9 @@ class EventsEncodingSpec extends AnyFunSuite {
     // r08 advice: the long branch assumed nanos unconditionally, so a
     // micros-as-long (or seconds-as-long) regen would divide every value
     // by 1000 and shift all timestamps 1000x with no error. Pin the
-    // plausibility guard: after /1000 the value must land in [2000,2100)
-    // as a micros epoch, else raise_error.
+    // plausibility guard: after /1000 the min/max must land in
+    // [1990,2100) as a micros epoch, checked once at loader build via a
+    // footer-stats min/max probe (r09: hoisted out of the per-row path).
     val schema = MessageTypeParser.parseMessageType(
       """message events {
         |  required int64 event_id;

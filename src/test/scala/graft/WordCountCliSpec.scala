@@ -91,6 +91,36 @@ class WordCountCliSpec extends AnyFunSuite {
     assert(staged.contains("small.txt"))
   }
 
+  test("--max-file-bytes tolerates non-UTF-8 bytes and cleans its staging dir") {
+    spark
+    // r09 advice: the split path's strict UTF-8 decoder crashed on
+    // Latin-1 corpora the unsplit spark.read.text path tolerates via
+    // replacement chars. Pin REPLACE decoding: a Latin-1 'café' byte
+    // sequence must not abort the run, and the oversized file still
+    // splits. Also pin: main() deletes the staging dir afterwards.
+    val in = Files.createTempDirectory("graft-cli-inlatin")
+    val latin1Line = "café au lait ".getBytes("ISO-8859-1") // 0xE9 = malformed in UTF-8
+    val body = new java.io.ByteArrayOutputStream()
+    (1 to 500).foreach { _ => body.write(latin1Line); body.write('\n') }
+    Files.write(in.resolve("latin.txt"), body.toByteArray)
+
+    val stageBefore = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("graft_wc_split")).toSet
+    val out = Files.createTempDirectory("graft-cli-outlatin").resolve("run").toString
+    WordCount.main(Array("--max-file-bytes=1024", in.toString, out, "2"))
+    // the run completed and counted the tolerated tokens (é → U+FFFD is
+    // stripped by normalization, leaving 'caf')
+    val lines = partLines(out).flatten
+    assert(lines.exists(_.startsWith("caf au\t")), s"got: ${lines.take(5)}")
+    // staging dirs created by this run are gone
+    val stageAfter = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("graft_wc_split")).toSet
+    assert((stageAfter -- stageBefore).isEmpty,
+      s"staging dir leaked: ${stageAfter -- stageBefore}")
+  }
+
   test("CLI n=1 word-count fast path with default partitioning") {
     spark
     val in = Files.createTempDirectory("graft-cli-in1")

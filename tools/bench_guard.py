@@ -28,14 +28,26 @@ MIN_SEC = 0.15  # both medians under this: jitter, not a regression
 
 
 def newest(pattern, below=None):
-    best, best_n = None, -1
-    for p in glob.glob(pattern):
-        m = re.search(r"_r(\d+)\.json$", p)
+    """Newest artifact by round number. Accepts suffixed names
+    (BENCH_SELF_r09_sf01.json) so a clean re-run is visible to the
+    guard, but SKIPS anything carrying the `contended` marker — the
+    quarantine protocol (r09 verdict task 5, codifying the r07
+    precedent): when two same-round runs disagree >1.3x on total, the
+    slower one is renamed *_contended.json and stops being comparable.
+    Same-round ties break on mtime (most recent clean run wins)."""
+    best, best_n, best_mt = None, -1, -1.0
+    for p in glob.glob(pattern) + glob.glob(pattern.replace(".json", "_*.json")):
+        if "contended" in os.path.basename(p):
+            continue
+        m = re.search(r"_r(\d+)(?:_[A-Za-z0-9]+)*\.json$", p)
         if not m:
             continue
         n = int(m.group(1))
-        if n > best_n and (below is None or n < below):
-            best, best_n = p, n
+        if below is not None and n >= below:
+            continue
+        mt = os.path.getmtime(p)
+        if n > best_n or (n == best_n and mt > best_mt):
+            best, best_n, best_mt = p, n, mt
     return best, best_n
 
 
@@ -43,11 +55,22 @@ META_KEYS = {"value", "n_queries", "reps", "shards", "n", "rc", "cpus", "sf"}
 
 
 def sf_of(path):
+    """Normalized scale factor: BENCH_SELF stores the sf DIR string
+    ("/root/testdata/sf0.1"), the driver wrapper stores the number
+    (0.1) — both must compare equal for the same-sf walk-back."""
     try:
         with open(path) as f:
-            return json.load(f).get("sf")
+            raw = json.load(f).get("sf")
     except (OSError, ValueError):
         return None
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    if isinstance(raw, str):
+        m = re.search(r"sf([0-9.]+)/?$", raw)
+        if m:
+            return float(m.group(1))
+        return raw
+    return raw
 
 
 def same_content(a, b):
@@ -93,7 +116,7 @@ def main():
         if cur_path is None:
             cur_path, cur_n = newest("BENCH_SELF_r*.json")
         else:
-            m = re.search(r"_r(\d+)\.json$", cur_path)
+            m = re.search(r"_r(\d+)(?:_[A-Za-z0-9]+)*\.json$", cur_path)
             cur_n = int(m.group(1)) if m else None
         # prefer the pinned canonical clean run, then a prior
         # self-published artifact (complete, never truncated), then
@@ -122,7 +145,19 @@ def main():
                     prev_path = cand
                     break
         if prev_path is None:
-            prev_path, _ = newest("BENCH_r*.json", below=cur_n)
+            # driver-wrapper fallback, same-sf walk-back applied here too
+            # (r09 advice: a bare fallback could compare across scale
+            # factors — the exact failure mode the sf checks exist for)
+            n = cur_n
+            while True:
+                cand, n = newest("BENCH_r*.json", below=n)
+                if cand is None or sf_of(cand) == sf_of(cur_path):
+                    prev_path = cand
+                    break
+        if prev_path is None:
+            print(f"bench_guard: no prior artifact at sf={sf_of(cur_path)} — "
+                  "nothing comparable, skipping regression check")
+            sys.exit(0)
     if not cur_path or not prev_path:
         print(f"bench_guard: need two artifacts (cur={cur_path}, prev={prev_path})")
         sys.exit(2)
