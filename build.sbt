@@ -28,3 +28,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// THE add-a-query step (r9 verdict task 6, shipped r11): `sbt addQueryCheck`
+// after any registry change. Regenerates the README query cross-index from
+// source, then runs the two artifact-coverage suites — ReadmeIndexSpec
+// (index ≡ live registry, anchors live) and BenchCanonSpec (BENCH_CANON.json
+// covers the registry exactly). A new query that skipped the canon refresh
+// fails here with the refresh command in the message; the same suites run
+// under plain `sbt test`, so skipping this task cannot ship green either —
+// this task exists so the regeneration half is one command, not tribal
+// knowledge.
+lazy val addQueryCheck = taskKey[Unit](
+  "Regenerate README query index, then verify index + bench-canon coverage")
+addQueryCheck := Def.sequential(
+  Def.task {
+    val log = streams.value.log
+    val rc = scala.sys.process.Process(
+      Seq("python3", "tools/readme_index.py"), baseDirectory.value).!
+    if (rc != 0) sys.error(s"tools/readme_index.py exited $rc")
+    log.info("README query index regenerated; verifying coverage suites…")
+  },
+  (Test / testOnly).toTask(" graft.ReadmeIndexSpec graft.BenchCanonSpec")
+).value

@@ -294,6 +294,21 @@ object Bench {
       // [4.13, 4.09, 1.12]), so the regression guard keys on per-query
       // min (tools/bench_guard.py) and BASELINE.md records both.
       val totalMin = r3(results.map(_._2._2).filter(_ >= 0).sum)
+      // Publish-time contention detection (VERDICT r10 task 3): the r07,
+      // r09 and r10 driver artifacts were all distorted by co-tenant
+      // load, visible as many-query within-shard run spreads no plan
+      // change can produce (e.g. join_left_outer [7.35, 2.36, 6.72]).
+      // Calibrated on those artifacts: ≥5 queries with max/min > 3× and
+      // max ≥ 0.45 s flags every known contended run (8, 20 hits) and no
+      // known clean run (0–3 hits). The stamp rides in the artifact so
+      // tools/bench_guard.py can warn and quarantine without a rename.
+      val spread3x = results.count { case (_, (_, mn, mx), _) =>
+        mn > 0 && mx >= 0.45 && mx / mn > 3.0
+      }
+      val contended = spread3x >= 5
+      if (contended) System.err.println(
+        s"[bench] WARNING: $spread3x queries show >3x within-shard run spread — " +
+          "machine contention signature; artifact stamped \"contended\":true")
       val protocol = s"""{"reps":$Reps,"aggregation":"median_of_successful",""" +
         s""""regression_guard":"per-query min (tools/bench_guard.py)",""" +
         s""""warmup":"per shard: all tables noop-scanned + 3 synthetic JIT pipeline runs, then 1 untimed run per query",""" +
@@ -305,7 +320,7 @@ object Bench {
           ",\"max\":" + r3(mx) + ",\"runs\":[" + ts.map(r3).mkString(",") + "]}"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","n_queries":${results.size},"sf":"${esc(sfDir)}","protocol":$protocol,"queries":$qs,"query_detail":$detail}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","n_queries":${results.size},"contended":$contended,"n_spread3x":$spread3x,"sf":"${esc(sfDir)}","protocol":$protocol,"queries":$qs,"query_detail":$detail}""".getBytes("UTF-8"))
       System.err.println(s"[bench] self-published $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-publish failed (non-fatal): ${e.getMessage}")

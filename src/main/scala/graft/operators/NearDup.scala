@@ -214,15 +214,26 @@ object NearDup {
     },
     // X75 (oracled, VERDICT r09 task 7): the calibration BOUND as a
     // driver-checked query, mirroring hll_rolling_bound — every LSH
-    // candidate pair whose MinHash estimate deviates more than 0.45
-    // (5σ at K=32: σ = √(J(1−J)/32) ≤ 0.0884) from the exact 3-gram
-    // Jaccard. Expected result: ZERO rows, and that emptiness IS the
-    // oracle-able claim — the estimates are engine-specific, but "no
-    // candidate pair violates 5σ" is exact (signatures are
-    // deterministic under the fixed seed, so this is a reproducible
-    // invariant, not a flaky tail event; measured max at sf0.01 is
-    // 0.168). A broken hash family, banding bug, or gram-set drift
-    // surfaces here as a row-count mismatch.
+    // candidate pair whose MinHash estimate deviates more than the
+    // cutoff from the exact 3-gram Jaccard. Expected result: ZERO rows,
+    // and that emptiness IS the oracle-able claim — the estimates are
+    // engine-specific, but "no candidate pair violates the bound" is
+    // exact (signatures are deterministic under the fixed seed, so this
+    // is a reproducible invariant, not a flaky tail event; measured max
+    // at sf0.01 is 0.168). A broken hash family, banding bug, or
+    // gram-set drift surfaces here as a row-count mismatch.
+    //
+    // The cutoff is a bound on the MAX over all candidate pairs, not a
+    // per-pair quantile (r10 ADVICE): with n pairs the expected max of
+    // n zero-mean σ-bounded estimates grows like σ·√(2·ln n), so a
+    // fixed per-pair 5σ cutoff (0.45) would eventually produce
+    // legitimate violations as the candidate count grows with scale
+    // factor. Cutoff = max(0.45, σ_max·√(2·ln n) + 0.15) with
+    // σ_max = √(0.25/32) ≈ 0.0884 keeps today's tightness at small SF
+    // (the adaptive term only overtakes 0.45 past n ≈ 300 pairs) while
+    // staying scale-valid; the +0.15 margin covers the sub-Gaussian
+    // constant. The scalar pair count rides in as a broadcast cross
+    // join — no second shuffle.
     Q("minhash_calibration_bound",
       """SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
         |  CAST(NULL AS DOUBLE) AS abs_err
@@ -233,12 +244,16 @@ object NearDup {
         array_distinct(TextFns.ngrams(col("text"), 3)).as("g"))
       val inter = size(array_intersect(col("g1"), col("g2"))).cast("double")
       val union = (size(col("g1")) + size(col("g2"))).cast("double") - inter
+      val cutoff = greatest(lit(0.45),
+        lit(math.sqrt(0.25 / 32)) * sqrt(lit(2.0) * log(col("n_pairs").cast("double"))) + lit(0.15))
       cand
         .join(grams.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
         .join(grams.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
         .select(col("id1"), col("id2"),
           abs(col("est_jaccard") - try_divide(inter, union)).as("abs_err"))
-        .filter(col("abs_err") > 0.45)
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_pairs"))))
+        .filter(col("abs_err") > cutoff)
+        .select(col("id1"), col("id2"), col("abs_err"))
         .orderBy("id1", "id2")
     },
     Q.noOracle("simhash_signatures") { (s, d) =>

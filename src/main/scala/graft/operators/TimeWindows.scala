@@ -201,17 +201,34 @@ object TimeWindows {
         .orderBy("user_id").toDF()
     },
 
-    // G23+: batch form of the mapGroupsWithState per-user profile
-    // (no-oracle: the custom accumulator sums doubles in stream arrival
-    // order, which no SQL engine reproduces bit-for-bit; incremental
-    // multi-batch ≡ batch equivalence is asserted in StreamingSpec).
-    Q.noOracle("user_profiles_stateful") { (s, d) =>
+    // X19 (oracled since r11, VERDICT r10 task 6): batch form of the
+    // mapGroupsWithState per-user profile. The accumulator sums doubles
+    // in arrival order, which no SQL engine reproduces bit-for-bit —
+    // but the fixture's `value` column is exactly 2-decimal (verified:
+    // 0 rows where value <> round(value,2) at sf0.01), so the true
+    // per-user total is a multiple of 0.01 and sits 5e-3 away from any
+    // 2dp rounding boundary, while the float-sum error over ≤ a few
+    // hundred addends is ~1e-11 — eight orders of magnitude of margin.
+    // round(total,2) therefore lands both engines on the identical
+    // double regardless of summation order, converting the whole
+    // profile (counts, first/last epoch-micros, total) to a hash-exact
+    // oracle. Incremental multi-batch ≡ batch equivalence stays pinned
+    // in StreamingSpec.
+    Q("user_profiles_stateful",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS total_value,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       StreamingOps.userProfiles(
         Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
           .as[(Long, Long, Double)])
-        .orderBy("user_id").toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          col("first_ts_us"), col("last_ts_us"))
+        .orderBy("user_id")
     }
   )
 }

@@ -71,8 +71,25 @@ object Tables {
         // build — parquet footer stats make this a metadata-only job —
         // instead of a per-row CASE+raise_error that every downstream
         // query re-evaluates on every scan of the column.
-        probeLongUnit(raw, c)
-        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        //
+        // Streaming inputs can't run a batch action (head() on a
+        // streaming Dataset throws), and the files backing the column
+        // arrive over the stream's lifetime anyway, so no one-shot probe
+        // could cover them: keep the per-row CASE+raise_error guard
+        // there. Streams are micro-batch-bounded, so the per-row cost is
+        // noise next to state-store and sink I/O.
+        if (raw.isStreaming) {
+          raw.withColumn(c, expr(
+            s"""CASE WHEN `$c` IS NULL THEN CAST(NULL AS TIMESTAMP)
+               |WHEN `$c` div 1000 BETWEEN ${loBoundMicros}L AND ${hiBoundMicros}L
+               |  THEN timestamp_micros(`$c` div 1000)
+               |ELSE raise_error(concat('$c: int64 value ', CAST(`$c` AS STRING),
+               |  ' is not a nanos epoch in [1990,2100) — fixture regen changed the long unit; update Tables.normalizeTs'))
+               |END""".stripMargin))
+        } else {
+          probeLongUnit(raw, c)
+          raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        }
       case TimestampNTZType => // micros, no UTC adjustment: same wall-clock under UTC session tz
         raw.withColumn(c, col(c).cast(TimestampType))
       case DateType => // date-typed regen: midnight wall-clock, same day boundaries
@@ -88,17 +105,25 @@ object Tables {
   private val hiBoundMicros = 4102444800000000L  // 2100-01-01 as micros
 
   /** Once-per-scan wrong-unit probe for int64 time columns, memoized on
-    * the analyzed plan's semantic hash so repeated loads of the same
-    * path (every query re-calls the loader) pay zero jobs after the
-    * first. On a plain parquet scan the min/max aggregate is served
-    * from footer statistics (PushedAggregation) — no data pages read. */
+    * (resolved input files, column) so repeated loads of the same path
+    * (every query re-calls the loader) pay zero jobs after the first.
+    * File-path keying (not the analyzed plan's semanticHash, which stays
+    * constant across an in-place overwrite) means a regen that writes
+    * NEW part files — Spark/pyarrow writers name parts with fresh UUIDs —
+    * re-probes automatically. The one uncovered case is an in-JVM
+    * overwrite of the SAME file name with a different long unit: that
+    * also leaves Spark's own file-status caches stale, so an in-session
+    * same-name regen requires a new SparkSession regardless of this
+    * probe. The key set is bounded by the number of distinct fixture
+    * files a session touches (tens). */
   private val probedLongScans =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def probeLongUnit(raw: DataFrame, c: String): Unit = {
-    val key = raw.queryExecution.analyzed.semanticHash().toString + "#" + c
+    val files = raw.inputFiles.sorted
+    val key = files.mkString(",") + "#" + c
     if (!probedLongScans.contains(key)) {
-      val row = raw.selectExpr(s"min(`$c`) AS mn", s"max(`$c`) AS mx").head()
+      val row = probeMinMax(raw, c, files)
       Seq(0, 1).foreach { i =>
         if (!row.isNullAt(i)) {
           val micros = row.getLong(i) / 1000L
@@ -112,6 +137,38 @@ object Tables {
       probedLongScans.add(key)
     }
   }
+
+  /** Min/max for the probe. Re-plans the scan over the same files under
+    * the DSv2 parquet path with aggregate pushdown enabled (both confs
+    * scoped to this one action, same pattern as G31), so when the
+    * pushdown rule accepts the column the probe is answered from footer
+    * statistics — `PushedAggregation` in the scan, no data pages read.
+    * EventsEncodingSpec pins which of the two plans a nanos-int64 column
+    * actually gets; if the rule rejects it, the fallback cost is one
+    * column scan once per JVM, which the memo bounds. Falls back to the
+    * caller's plan when the file list is unavailable (e.g. a non-file
+    * relation in tests). */
+  private def probeMinMax(raw: DataFrame, c: String, files: Seq[String]) = {
+    val agg = Seq(s"min(`$c`) AS mn", s"max(`$c`) AS mx")
+    if (files.isEmpty) raw.selectExpr(agg: _*).head()
+    else {
+      val s = raw.sparkSession
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val pushKey = "spark.sql.parquet.aggregatePushdown"
+      val savedV1 = s.conf.get(v1Key)
+      val savedPush = s.conf.get(pushKey)
+      s.conf.set(v1Key, savedV1.split(",").map(_.trim).filter(_ != "parquet").mkString(","))
+      s.conf.set(pushKey, "true")
+      try s.read.parquet(files: _*).selectExpr(agg: _*).head()
+      finally { s.conf.set(v1Key, savedV1); s.conf.set(pushKey, savedPush) }
+    }
+  }
+
+  /** Exposed for EventsEncodingSpec to pin the probe's actual plan:
+    * builds the exact probe DataFrame (scoped confs applied by the
+    * caller) so the spec can assert on `PushedAggregation`. */
+  private[graft] def probePlanForSpec(s: SparkSession, files: Seq[String], c: String): DataFrame =
+    s.read.parquet(files: _*).selectExpr(s"min(`$c`) AS mn", s"max(`$c`) AS mx")
 
   /** The events-specific entry older call sites and specs use. */
   private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =

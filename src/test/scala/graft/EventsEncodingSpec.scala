@@ -228,6 +228,48 @@ class EventsEncodingSpec extends AnyFunSuite {
       s"expected the wrong-unit guard to fire, got: ${e.getMessage}")
   }
 
+  test("wrong-unit probe is answered from parquet footer statistics (PushedAggregation)") {
+    // r10 verdict: the probe's "metadata-only" scaladoc claim was
+    // unverified — probeMinMax now scopes the DSv2 + aggregatePushdown
+    // confs itself (same pattern as G31). Pin that the pushdown rule
+    // really accepts a TIMESTAMP(NANOS)-annotated int64 read as long:
+    // the probe plan must carry PushedAggregation, i.e. no data pages.
+    val dir = Files.createTempDirectory("events-nanos-probe").toString
+    writeNanosFile(s"$dir/events.parquet")
+    val files = spark.read.parquet(s"$dir/events.parquet").inputFiles.toSeq
+    SparkTestSession.withConf(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true") {
+      val plan = Tables.probePlanForSpec(spark, files, "ts")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(ts), MAX(ts)]"),
+        s"probe min/max must be served from footer stats, plan was:\n${plan.take(1500)}")
+    }
+  }
+
+  test("streaming ingest over a nanos-encoded fixture works (per-row guard, no batch probe)") {
+    // r10 ADVICE (high): normalizeTs's batch min/max probe is an eager
+    // action and threw 'Queries with streaming sources must be executed
+    // with writeStream.start()' when the streaming path hit the LongType
+    // branch — exactly the nanos-fixture-regen case the guard exists
+    // for. The streaming branch now keeps the per-row CASE+raise_error.
+    val dir = Files.createTempDirectory("events-stream-nanos").toString
+    writeNanosFile(s"$dir/events.parquet")
+    val stream = graft.streaming.StreamingOps.readEventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === TimestampType)
+    val q = stream
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .writeStream.format("memory").queryName("nanos_stream_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("nanos_stream_probe")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(got === wall.map { case (id, ts, _, _, _, _) => (id, ts) })
+    } finally q.stop()
+  }
+
   test("readEventsStream on an empty directory defines with the declared default schema") {
     // r08 advice: the schema probe made stream definition throw when no
     // file had landed yet — the production ingest shape the doc comment

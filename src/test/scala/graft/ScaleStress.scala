@@ -77,8 +77,19 @@ object ScaleStress {
     val listener = new SkewListener
     spark.sparkContext.addSparkListener(listener)
 
+    // r10 verdict task 8: the as-of family's bucketed variant (the
+    // huge-history drop-in) and the time-range rolling window have never
+    // been measured at 10× density. They read events/orders, which the
+    // per-table replicate above doesn't build — so they join the target
+    // set only when the workDir is a FULL ScaleFixture output
+    // (sbt "Test/runMain graft.ScaleFixture 10" first, then point
+    // workDir at /tmp/graft_sf1).
+    val extra = Seq("join_asof_bucketed", "rolling_time_range").filter { _ =>
+      Seq("events", "orders").forall(t =>
+        new java.io.File(s"$workDir/$t.parquet").exists())
+    }
     val targets = Seq("minhash_near_dup_pairs", "cc_clusters",
-      "triangle_count", "simjoin_prefix")
+      "triangle_count", "simjoin_prefix") ++ extra
     var failed = false
     val reports = targets.map { name =>
       listener.reset()

@@ -27,17 +27,33 @@ THRESHOLD = 1.5
 MIN_SEC = 0.15  # both medians under this: jitter, not a regression
 
 
-def newest(pattern, below=None):
-    """Newest artifact by round number. Accepts suffixed names
-    (BENCH_SELF_r09_sf01.json) so a clean re-run is visible to the
-    guard, but SKIPS anything carrying the `contended` marker — the
-    quarantine protocol (r09 verdict task 5, codifying the r07
-    precedent): when two same-round runs disagree >1.3x on total, the
-    slower one is renamed *_contended.json and stops being comparable.
-    Same-round ties break on mtime (most recent clean run wins)."""
-    best, best_n, best_mt = None, -1, -1.0
+def is_contended(path):
+    """Contended artifacts are quarantined two ways: the rename protocol
+    (*_contended.json, r09 verdict task 5) and, since r11, a publish-time
+    stamp — Bench writes "contended": true when >=5 queries show >3x
+    within-shard run spread (the co-tenant load signature calibrated on
+    the r07/r09/r10 distorted artifacts). Either marker disqualifies the
+    artifact as a comparison reference."""
+    if "contended" in os.path.basename(path):
+        return True
+    try:
+        with open(path) as f:
+            return bool(json.load(f).get("contended", False))
+    except (OSError, ValueError):
+        return False
+
+
+def candidates(pattern, below=None):
+    """All non-contended artifacts matching `pattern` (suffixed names
+    like BENCH_SELF_r09_sf01.json included), sorted newest first by
+    (round number, mtime). Returned as (path, round) pairs so callers
+    can walk back through EVERY comparable artifact — picking one per
+    round (the pre-r11 shape) skipped a whole round whenever its newest
+    artifact happened to be at a different sf than the current run
+    (r10 ADVICE)."""
+    out = []
     for p in glob.glob(pattern) + glob.glob(pattern.replace(".json", "_*.json")):
-        if "contended" in os.path.basename(p):
+        if is_contended(p):
             continue
         m = re.search(r"_r(\d+)(?:_[A-Za-z0-9]+)*\.json$", p)
         if not m:
@@ -45,10 +61,15 @@ def newest(pattern, below=None):
         n = int(m.group(1))
         if below is not None and n >= below:
             continue
-        mt = os.path.getmtime(p)
-        if n > best_n or (n == best_n and mt > best_mt):
-            best, best_n, best_mt = p, n, mt
-    return best, best_n
+        out.append((p, n, os.path.getmtime(p)))
+    out.sort(key=lambda x: (-x[1], -x[2]))
+    return [(p, n) for p, n, _ in out]
+
+
+def newest(pattern, below=None):
+    """Newest non-contended artifact by round number (mtime tie-break)."""
+    cs = candidates(pattern, below)
+    return cs[0] if cs else (None, -1)
 
 
 META_KEYS = {"value", "n_queries", "reps", "shards", "n", "rc", "cpus", "sf"}
@@ -137,21 +158,18 @@ def main():
             else:
                 prev_path = "BENCH_CANON.json"
         if prev_path is None:
-            # walk back to the newest prior artifact at the SAME sf
-            n = cur_n
-            while True:
-                cand, n = newest("BENCH_SELF_r*.json", below=n)
-                if cand is None or sf_of(cand) == sf_of(cur_path):
+            # walk back through EVERY prior artifact (not one per round —
+            # r10 ADVICE) to the newest one at the SAME sf
+            for cand, _ in candidates("BENCH_SELF_r*.json", below=cur_n):
+                if sf_of(cand) == sf_of(cur_path):
                     prev_path = cand
                     break
         if prev_path is None:
             # driver-wrapper fallback, same-sf walk-back applied here too
             # (r09 advice: a bare fallback could compare across scale
             # factors — the exact failure mode the sf checks exist for)
-            n = cur_n
-            while True:
-                cand, n = newest("BENCH_r*.json", below=n)
-                if cand is None or sf_of(cand) == sf_of(cur_path):
+            for cand, _ in candidates("BENCH_r*.json", below=cur_n):
+                if sf_of(cand) == sf_of(cur_path):
                     prev_path = cand
                     break
         if prev_path is None:
@@ -161,6 +179,12 @@ def main():
     if not cur_path or not prev_path:
         print(f"bench_guard: need two artifacts (cur={cur_path}, prev={prev_path})")
         sys.exit(2)
+
+    if is_contended(cur_path):
+        print(f"bench_guard: WARNING — {cur_path} is stamped/renamed as "
+              "CONTENDED; its medians are machine noise. Comparison below "
+              "keys on per-query min, but re-run on an idle machine before "
+              "trusting any flag in either direction.")
 
     cur, prev = medians(cur_path), medians(prev_path)
     flagged, improved, new = [], 0, 0
