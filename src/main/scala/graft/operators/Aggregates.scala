@@ -111,6 +111,31 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // G11 (oracled, r11): the HLL error BOUND as a driver-checked
+    // query, mirroring minhash_calibration_bound — every group whose
+    // sketch estimate deviates more than 10% (5× the requested 2% rsd)
+    // from the exact distinct count. Expected result: ZERO rows; the
+    // estimates are engine-specific, but "no group violates the bound"
+    // is exact and deterministic (Spark's HLL++ is seed-fixed). A
+    // register-width or merge bug surfaces here as a row-count
+    // mismatch in the driver gate, not just in AggregateSpec. Both
+    // counts come out of ONE aggregation pass — the sketch rides along
+    // with the exact count, so the bound costs one scan.
+    Q("approx_count_distinct_bound",
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE false""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          round(abs(col("approx_parts") - col("exact_parts"))
+            / col("exact_parts").cast("double"), 6).as("rel_err"))
+        .filter(col("rel_err") > 0.10)
+        .orderBy("l_returnflag")
+    },
+
     // G12: ROLLUP (hierarchical subtotals). NULLS FIRST pinned on both
     // sides — Spark defaults nulls-first ASC, DuckDB nulls-last.
     Q("rollup_orders",

@@ -88,6 +88,47 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
+    // X25 (oracled, r11): the quantile-sketch RANK-ERROR bound as a
+    // driver-checked query, mirroring minhash_calibration_bound. The
+    // KLL/GK guarantee is about RANK, not value: the returned
+    // p-quantile must be an element whose rank r satisfies
+    // |r − p·n| ≤ ε·n with ε = 1/accuracy = 1e-4. For each (group, p)
+    // the approx value v is ranked against the actual data — its rank
+    // INTERVAL under ties is [cnt(< v) + 1, cnt(≤ v)] — and a row is
+    // emitted only if that whole interval misses [p·n − m, p·n + m]
+    // with margin m = 5·ε·n + 1 (5× nominal, +1 for integer rank).
+    // Expected result: ZERO rows; sketch internals are engine-specific
+    // (hence approx_quantiles stays no-oracle), but "every returned
+    // quantile ranks within the advertised error" is exact. The 12
+    // (group, p, v) probe rows broadcast back onto the fact table, so
+    // the bound costs one extra scan and no extra shuffle.
+    Q("approx_quantiles_bound",
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS DOUBLE) AS p,
+        |  CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS rank_lo,
+        |  CAST(NULL AS BIGINT) AS rank_hi
+        |WHERE false""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val probes = li
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(ps.map(lit): _*), lit(10000)).as("q"))
+        .select(col("l_returnflag"), posexplode(col("q")).as(Seq("i", "v")))
+        .withColumn("p", element_at(array(ps.map(lit): _*), col("i") + 1))
+      li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .join(broadcast(probes), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "p", "v")
+        .agg(sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("cnt_lt"),
+          sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("cnt_le"),
+          count(lit(1)).as("n"))
+        .withColumn("m", lit(5.0) * lit(1e-4) * col("n") + lit(1.0))
+        .filter(col("cnt_le") < col("p") * col("n") - col("m") ||
+          (col("cnt_lt") + 1) > col("p") * col("n") + col("m"))
+        .select(col("l_returnflag"), col("p"), col("v"),
+          (col("cnt_lt") + 1).as("rank_lo"), col("cnt_le").as("rank_hi"))
+        .orderBy("l_returnflag", "p")
+    },
+
     // Pivot: events per user × event_type (fixed column list so the
     // output schema is static; absent combos are NULL in both engines —
     // Spark pivot-count of an empty subset, SQL SUM(CASE) of none).

@@ -317,6 +317,46 @@ object Graph {
         .agg(approx_count_distinct(when(col("direct"), col("dst")), 0.04).as("n_1hop"),
           approx_count_distinct(col("dst"), 0.04).as("n_2hop"))
         .orderBy("node")
+    },
+
+    // X68 (oracled, r11): the HLL valve's error BOUND as a
+    // driver-checked query, mirroring minhash_calibration_bound —
+    // every node whose sketched 2-hop count deviates from the exact
+    // distinct count by more than the cutoff. Expected result: ZERO
+    // rows; per-node estimates are engine-specific (the `_approx`
+    // query stays no-oracle), but "no node violates the bound" is
+    // exact and deterministic (HLL++ is seed-fixed). Both counts come
+    // out of ONE aggregation over ONE khop expansion — the sketch
+    // rides beside the exact distinct, so the bound costs no second
+    // fan-out. The cutoff bounds the MAX over all nodes, not a
+    // per-node quantile (the minhash_calibration_bound lesson): with
+    // n nodes the expected max of n ~σ-bounded relative errors grows
+    // like σ·√(2·ln n), so rel cutoff = max(0.25, 0.04·√(2·ln n) +
+    // 0.10). The bound is on ABSOLUTE error, floored at 4: HLL's
+    // sparse path stores truncated hashes, so a tiny set can read one
+    // short of exact on a hash collision (measured at sf0.1: exact 2 →
+    // estimate 1, a 0.5 RELATIVE error on an absolute error of 1) —
+    // a pure relative form would flag healthy sketches on low-degree
+    // nodes forever. abs_err > max(rel_cutoff·exact, 4) keeps the
+    // relative check binding exactly where sketches matter (hubs) and
+    // tolerant of ±few on degree-2 nodes (measured abs err ≤ 1).
+    Q("khop_2_reach_approx_bound",
+      """SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS abs_err
+        |WHERE false""".stripMargin) { (s, d) =>
+      val both = khopTagged(coorderEdges(s, d))
+        .groupBy(col("src").as("node"))
+        .agg(countDistinct(col("dst")).as("exact_2hop"),
+          approx_count_distinct(col("dst"), 0.04).as("approx_2hop"))
+      val relCutoff = greatest(lit(0.25),
+        lit(0.04) * sqrt(lit(2.0) * log(col("n_nodes").cast("double"))) + lit(0.10))
+      both
+        .select(col("node"), col("exact_2hop"),
+          abs(col("approx_2hop") - col("exact_2hop")).as("abs_err"))
+        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_nodes"))))
+        .filter(col("abs_err").cast("double") >
+          greatest(relCutoff * col("exact_2hop").cast("double"), lit(4.0)))
+        .select(col("node"), col("abs_err"))
+        .orderBy("node")
     }
   )
 

@@ -421,6 +421,45 @@ object Similarity {
     // reconstruction bound are asserted in SimilaritySpec).
     Q.noOracle("ann_sq8_topk") { (s, d) =>
       sq8TopK(Tables.embeddings(s, d), nQ = 8, k = 10)
+    },
+
+    // X14/X18/X31 (oracled, r11): the ANN recall FLOORS as one
+    // driver-checked query, mirroring minhash_calibration_bound —
+    // every approximate index whose mean top-10 recall against the
+    // exact cosine scan falls below its floor. Expected result: ZERO
+    // rows, and that emptiness IS the oracle-able claim — the
+    // individual top-k lists are engine-specific (hence the three
+    // `_topk` queries stay no-oracle), but "no index has collapsed
+    // below its floor" is exact and deterministic (hyperplanes,
+    // k-means seeding, and SQ8 codes are all seed-fixed). A hashing,
+    // probing, or quantization bug now surfaces as a row-count
+    // mismatch in the driver gate, not just in SimilaritySpec.
+    //
+    // Floors are set below the measured operating points with margin
+    // (SimilaritySpec negative control: a broken index measures
+    // 0.03–0.11, far under any floor): LSH 0.45 (measured 0.66–0.70 at
+    // sf0.001), IVF 0.40 (IvfSweep: 0.65 at the 12/4 default), SQ8
+    // 0.85 (measured ≥0.95 — 8-bit codes barely perturb ranking).
+    Q("ann_recall_bounds",
+      """SELECT CAST(NULL AS VARCHAR) AS method,
+        |  CAST(NULL AS DOUBLE) AS mean_recall, CAST(NULL AS DOUBLE) AS floor
+        |WHERE false""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val exact = cosineTopK(emb, nQ = 8, k = 10).select("q_id", "vec_id")
+      def meanRecall(method: String, approx: DataFrame, floor: Double): DataFrame =
+        exact
+          .join(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+            Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+          .agg(round(avg(col("recall")), 6).as("mean_recall"))
+          .select(lit(method).as("method"), col("mean_recall"),
+            lit(floor).as("floor"))
+      meanRecall("lsh", annTopK(emb, 8, 10, idx = Some((s, d))), 0.45)
+        .unionAll(meanRecall("ivf", ivfTopK(emb, 8, 10, idx = Some((s, d))), 0.40))
+        .unionAll(meanRecall("sq8", sq8TopK(emb, 8, 10), 0.85))
+        .filter(col("mean_recall") < col("floor"))
+        .orderBy("method")
     }
   )
 }
