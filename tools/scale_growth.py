@@ -25,6 +25,9 @@ MIN_SEC = 0.15  # both minima under this: constant-cost query, not a signal
 # doc gains `copies-1` near-duplicates (the fixture's perturbed replicas)
 KNOWN_SUPERLINEAR = {
     "minhash_near_dup_pairs", "simhash_near_dup_pairs", "minhash_calibration",
+    # same LSH-candidate set as minhash_calibration (the bound form just
+    # filters it), so its cost grows with candidate pairs, not rows
+    "minhash_calibration_bound",
     "embedding_near_dup_lsh", "embedding_near_dup_by_label", "simjoin_prefix",
     "jaccard_adjacent", "cc_components", "cc_clusters", "cc_keep_best",
     "dedup_apply_keep_best", "best_match_fuzzy", "contamination_matrix",
