@@ -330,11 +330,34 @@ object StreamingOps {
             st.remove()
             Iterator.single(ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n))
           } else {
+            // The 10x StreamSoak falsified the "late rows are dropped
+            // before the function runs" assumption this code shipped
+            // with: when micro-batches deliver files in non-time order,
+            // rows older than the watermark DO reach the function (and
+            // a state entry's last+gap can fall behind the advancing
+            // watermark), so the blind setTimeoutTimestamp(last+gap)
+            // threw "cannot be earlier than the current watermark".
+            // Enforce the documented watermark contract explicitly:
+            //  (1) drop rows below the watermark (exactly what the
+            //      built-in session_window operator does with them);
+            //  (2) if the surviving session's last+gap is still behind
+            //      the watermark (possible only via old STATE, whose
+            //      rows predate this batch), close it NOW — the
+            //      watermark position is the proof it is final: any
+            //      future non-late row has ts >= wm >= last+gap and so
+            //      must open a NEW session. Same ClosedSession the
+            //      timeout would have emitted, just not deferred.
+            // Batch runs (the oracled form) have no watermark
+            // (getCurrentWatermarkMs throws): treat as -inf, keeping
+            // every row and the pure timeout path — oracle unchanged.
+            val wmMs = try st.getCurrentWatermarkMs()
+                       catch { case _: UnsupportedOperationException => Long.MinValue }
+            val wmUs = if (wmMs == Long.MinValue) Long.MinValue else wmMs * 1000L
             // full-precision micros: getTime is ms-truncated, getNanos
             // carries the complete fractional second (events.ts is µs)
             val tsUs = rows.map { case (_, t) =>
               Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-            }.toArray.sorted
+            }.filter(_ >= wmUs).toArray.sorted
             val closed = Seq.newBuilder[ClosedSession]
             var cur = st.getOption
             tsUs.foreach { t =>
@@ -352,9 +375,15 @@ object StreamingOps {
               }
             }
             cur.foreach { s =>
-              st.update(s)
-              // timeout fires once watermark > last+gap (ms precision)
-              st.setTimeoutTimestamp(s.last_us / 1000L + gapUs / 1000L)
+              val closeAtMs = s.last_us / 1000L + gapUs / 1000L
+              if (wmMs >= closeAtMs) {
+                if (st.exists) st.remove()
+                closed += ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n)
+              } else {
+                st.update(s)
+                // timeout fires once watermark > last+gap (ms precision)
+                st.setTimeoutTimestamp(closeAtMs)
+              }
             }
             closed.result().iterator
           }

@@ -124,10 +124,24 @@ object StreamSoak {
 
     check(tumbling.removed > 0,
       s"watermark eviction never engaged (numRowsRemoved=${tumbling.removed})")
+    // Watermark-evicted operators hold a sliver of the key space at once.
     val stateBound = nInput / 20
-    Seq(tumbling, sessions, activity).foreach { s =>
+    // user_activity_tws holds state for EVERY user (no TTL in the soak
+    // config) and RocksDB reports each MapState ENTRY as a row, so its
+    // honest bound is per-user state ARITY — 1 ValueState + one map
+    // entry per event type (5 in the fixture), padded to 8 — times the
+    // user count. The claim that matters is identical: state scales
+    // with |users| x O(1), never with event rows (measured at 10x:
+    // 90,000 = 15,000 users x 6 for 1,000,000 input rows).
+    val activityBound = math.min(nUsers * 8, nInput / 5)
+    Seq(tumbling, sessions).foreach { s =>
       check(s.peakStateRows < stateBound,
         s"${s.name}: peak state ${s.peakStateRows} rows not << input $nInput")
+    }
+    check(activity.peakStateRows < activityBound,
+      s"${activity.name}: peak state ${activity.peakStateRows} rows exceeds " +
+        s"users*arity bound $activityBound (users=$nUsers, input=$nInput)")
+    Seq(tumbling, sessions, activity).foreach { s =>
       check(s.dataBatches >= 2,
         s"${s.name}: ran in ${s.dataBatches} data batch(es) — state never crossed a batch boundary")
     }

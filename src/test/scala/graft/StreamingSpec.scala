@@ -407,6 +407,47 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batch == want -- lastPerUser)
   }
 
+  test("X30 regression (10x soak): watermark overtakes an open session's last+gap") {
+    // The 10x StreamSoak shape: files arrive in non-time order, so a
+    // batch's watermark (driven by the newest event seen) can overtake
+    // an OLD open session's last+gap before its timeout fires — and
+    // late rows for that session DO reach the function (Spark does not
+    // filter them for this plan shape). Pre-fix, the blind
+    // setTimeoutTimestamp(last+gap) threw "Timeout timestamp cannot be
+    // earlier than the current watermark" and killed the query; the fix
+    // drops sub-watermark rows and closes the provably-final session
+    // inline. gap 30 min, lateness 2 h.
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val mem = MemoryStream[(Long, Timestamp)]
+    val input = mem.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours").as[(Long, Timestamp)]
+    val q = StreamingOps.sessionizeStateful(input, gapUs).writeStream
+      .format("memory").queryName("wm_overtake_sink").outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: u1 opens a session at 10:00; u2's 22:00 event pushes the
+    // post-batch watermark to 20:00 — far past u1's 10:30 close point
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 22:00:00")))
+    q.processAllAvailable()
+    // batch 2: a late row for u1 (below the 20:00 watermark) arrives in
+    // the same trigger in which u1's state is already wm-overtaken —
+    // the pre-fix throw site; post-fix the row is dropped and u1's
+    // (10:00, 10:30] session is emitted
+    mem.addData((1L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_overtake_sink")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val Array(us1000, us1030) =
+      Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")).toDF("t")
+        .select(unix_micros(col("t"))).as[Long].collect()
+    assert(got.contains((1L, us1000, us1030, 1L)),
+      s"u1's wm-overtaken session not closed: $got")
+    // the late 10:01 row neither extended the session (n stays 1) nor
+    // spawned a spurious one-row session of its own
+    assert(got.count(_._1 == 1L) == 1, s"spurious late-row session: $got")
+  }
+
   test("X33 transformWithState: two state variables, multi-batch stream == groupBy truth") {
     implicit val sqlCtx = spark.sqlContext
     SparkTestSession.withConf(
