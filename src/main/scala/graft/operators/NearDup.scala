@@ -287,6 +287,40 @@ object NearDup {
         .orderBy("id1", "id2")
     },
 
+    // X2/X14 (oracled, r11): the LSH PLANTED-PAIR RECALL floors as one
+    // driver-checked query, completing the bound-oracle family
+    // (ann_recall_bounds covers top-k recall; this covers pair MINING
+    // recall): each planted near-dup (doc x truncated to 80% of its
+    // tokens; embedding x with every 8th dim zeroed — both copies
+    // keyed x+100000) is a pair the banded/multi-table LSH MUST
+    // recover, so "recovered fraction under the floor" is an
+    // expected-empty violations table. Deterministic under the fixed
+    // hash seeds; floors sit under the measured recall at every sf
+    // with margin (NearDupSpec pins the sf0.001 points at 45/50 and
+    // 36/40). A banding, bucketing, or signature regression now fails
+    // the driver's row-count gate, not just the spec.
+    Q("neardup_recall_bounds",
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS BIGINT) AS found,
+        |  CAST(NULL AS BIGINT) AS planted, CAST(NULL AS DOUBLE) AS floor
+        |WHERE false""".stripMargin) { (s, d) =>
+      def recovered(pairs: DataFrame, method: String, nPlanted: Int,
+                    floor: Double): DataFrame =
+        pairs.filter(col("id2") === col("id1") + 100000L &&
+            col("id1") < nPlanted)
+          .agg(count(lit(1)).as("found"))
+          .select(lit(method).as("method"), col("found"),
+            lit(nPlanted.toLong).as("planted"), lit(floor).as("floor"))
+      recovered(minhashPairs(withPlantedDups(Tables.documents(s, d)), 0.5,
+          idx = Some((s, d)), corpusName = "planted"),
+          "minhash_lsh", 50, 0.80)
+        .unionAll(recovered(
+          embeddingNearDupLsh(withPlantedEmbeddingDups(Tables.embeddings(s, d)),
+            0.8, idx = Some((s, d))),
+          "embedding_lsh", 40, 0.80))
+        .filter(col("found").cast("double") / col("planted") < col("floor"))
+        .orderBy("method")
+    },
+
     // X2+: EXACT set-similarity self-join via PREFIX FILTERING (the
     // PPJoin family's candidate rule): order each doc's distinct
     // 3-gram set rarest-first (global frequency asc, gram asc); two
