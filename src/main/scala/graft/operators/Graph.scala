@@ -343,16 +343,26 @@ object Graph {
     Q("khop_2_reach_approx_bound",
       """SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS abs_err
         |WHERE false""".stripMargin) { (s, d) =>
-      val both = khopTagged(coorderEdges(s, d))
+      val e = coorderEdges(s, d)
+      val both = khopTagged(e)
         .groupBy(col("src").as("node"))
         .agg(countDistinct(col("dst")).as("exact_2hop"),
           approx_count_distinct(col("dst"), 0.04).as("approx_2hop"))
+      // n_nodes for the adaptive cutoff = |distinct khop origins| =
+      // |distinct endpoints of the pruned edge set| (the 2-hop join
+      // introduces no new origins), so it comes off the small edge
+      // table directly — counting `both` instead would re-run the
+      // whole Σdeg² expansion just to size a scalar (plan-pinned in
+      // PlanAuditSpec: exactly one 2-hop join in this plan).
+      val nNodes = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .agg(countDistinct(col("node")).as("n_nodes"))
       val relCutoff = greatest(lit(0.25),
         lit(0.04) * sqrt(lit(2.0) * log(col("n_nodes").cast("double"))) + lit(0.10))
       both
         .select(col("node"), col("exact_2hop"),
           abs(col("approx_2hop") - col("exact_2hop")).as("abs_err"))
-        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_nodes"))))
+        .crossJoin(broadcast(nNodes))
         .filter(col("abs_err").cast("double") >
           greatest(relCutoff * col("exact_2hop").cast("double"), lit(4.0)))
         .select(col("node"), col("abs_err"))

@@ -347,4 +347,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val gens = "transform\\(sequence\\(1,".r.findAllIn(p).size
     assert(gens == 1, s"expected 1 live bigram explode subtree, saw $gens")
   }
+
+  test("khop bound: ONE Sigma-deg^2 expansion; scalar n_nodes reads edges only") {
+    // Both counts (exact distinct + HLL sketch) must ride ONE khop
+    // expansion — the 2-hop self-join (a BroadcastHashJoin carrying the
+    // dst != src residual) appears exactly once — and the adaptive
+    // cutoff's n_nodes scalar must come off the pruned EDGE table
+    // (distinct endpoints), never a second expansion: counting the
+    // aggregated expansion instead re-runs the most expensive join in
+    // the plan to size one number.
+    val p = plan("khop_2_reach_approx_bound")
+    val twoHop = "BroadcastHashJoin \\[dst#\\d+L\\], \\[src#\\d+L\\]".r.findAllIn(p).size
+    assert(twoHop == 1, s"expected exactly 1 two-hop self-join, saw $twoHop")
+    assert(p.contains("merge_approx_count_distinct"),
+      "HLL sketch must merge map-side beside the exact distinct")
+    assert(p.contains("IdentityBroadcastMode"),
+      "the n_nodes scalar must broadcast, not shuffle against the nodes")
+  }
+
+  test("approx_quantiles_bound: probes broadcast onto one ranking scan") {
+    // The 12 (group, p, v) probe rows broadcast back onto the fact
+    // table — the rank check costs one extra scan and no extra
+    // shuffle beyond the group-keyed rank aggregation.
+    val p = plan("approx_quantiles_bound")
+    assert(p.contains("BroadcastHashJoin [l_returnflag"),
+      "probe rows must broadcast onto the fact scan")
+    assert(p.contains("partial_percentile_approx"),
+      "the sketch itself must aggregate partial/final")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+  }
 }
