@@ -317,6 +317,15 @@ object NearDup {
           embeddingNearDupLsh(withPlantedEmbeddingDups(Tables.embeddings(s, d)),
             0.8, idx = Some((s, d))),
           "embedding_lsh", 40, 0.80))
+        // SimHash's floor is honestly LOWER: hamming <= 16 over 64 bits
+        // targets small perturbations, and the planted twins are a
+        // STRONG 20%-truncation (measured 28-30/50 across sfs — its
+        // operating point, vs MinHash's 49-50/50 on the same twins).
+        // 0.40 still discriminates: broken chunked bucketing recovers
+        // ~none.
+        .unionAll(recovered(
+          simhashPairs(withPlantedDups(Tables.documents(s, d)), 16),
+          "simhash", 50, 0.40))
         .filter(col("found").cast("double") / col("planted") < col("floor"))
         .orderBy("method")
     },
