@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Similarity}
+import graft.operators.{Graph, NearDup, Similarity}
 import graft.sources.Tables
 
 /** One-off calibration probe for the r11 `*_bound` oracled queries:
@@ -72,6 +72,18 @@ object BoundsProbe {
       val viol = both.fn(spark, d).count()
       val mx = khopMax(spark, d)
       println(f"  khop violations = $viol, max rel_err = $mx%.4f")
+
+      def planted(pairs: org.apache.spark.sql.DataFrame, n: Int): Long =
+        pairs.filter(col("id2") === col("id1") + 100000L && col("id1") < n).count()
+      val mh = planted(NearDup.minhashPairs(
+        NearDup.withPlantedDups(Tables.documents(spark, d)), 0.5,
+        idx = Some((spark, d)), corpusName = "planted"), 50)
+      val sh = planted(NearDup.simhashPairs(
+        NearDup.withPlantedDups(Tables.documents(spark, d)), 16), 50)
+      val el = planted(NearDup.embeddingNearDupLsh(
+        NearDup.withPlantedEmbeddingDups(Tables.embeddings(spark, d)), 0.8,
+        idx = Some((spark, d))), 40)
+      println(s"  neardup planted recovered: minhash=$mh/50 simhash=$sh/50 embedding=$el/40")
     }
     spark.stop()
   }
