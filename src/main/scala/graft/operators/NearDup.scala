@@ -330,6 +330,104 @@ object NearDup {
         .orderBy("method")
     },
 
+    // X50+X2 (r11): INCREMENTAL near-dup screening — the near-dup
+    // completion of X50's exact-fingerprint incremental dedup. An
+    // incoming BATCH (planted 80%-truncated twins of corpus docs +
+    // re-keyed src2 docs, i.e. near-dups AND genuinely novel text) is
+    // screened against the src1 CORPUS by the R-S form of the prefix-
+    // filtered set-similarity join: rank every doc's distinct 3-grams
+    // by one SHARED global rarity order, explode only the
+    // |s| − ⌈θ·|s|⌉ + 1 prefix grams per side, equi-join batch
+    // prefixes against corpus prefixes, exact-verify Jaccard ≥ θ on
+    // candidates only, then LEFT ANTI the verified dups out of the
+    // batch. EXACT (prefix filtering has no false negatives), so the
+    // whole screen — unlike the MinHash probe — is oracle-able against
+    // DuckDB brute force.
+    //
+    // 100 TB posture: the corpus side's ranked prefix table is the
+    // persisted artifact a production pipeline keeps next to the X50
+    // fingerprint index (the shared rarity order must come from one
+    // frequency table — here corpus ∪ batch — because prefix
+    // correctness needs both sides ranked by the SAME total order);
+    // the batch only shuffles on its own prefix grams, candidates are
+    // rare-gram-bucketed, and exact verification touches candidates
+    // only. The corpus is consulted, never re-paired against itself.
+    Q("dedup_incremental_simjoin",
+      """WITH src1 AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+        |rt AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS r
+        |       FROM src1),
+        |batch AS (
+        |  SELECT b.doc_id + 100000 AS doc_id,
+        |    array_to_string(r[1 : greatest(3, len(r) * 4 // 5)], ' ') AS text
+        |  FROM src1 b JOIN rt USING (doc_id) WHERE b.doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE source = 'src2'),
+        |ctoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM src1),
+        |btoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), x -> len(x) > 0) AS t
+        |  FROM batch),
+        |csh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM ctoks WHERE len(t) >= 3),
+        |bsh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM btoks WHERE len(t) >= 3),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bsh b JOIN csh c ON round(
+        |    CAST(len(list_intersect(b.s, c.s)) AS DOUBLE) /
+        |    CAST(len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS DOUBLE), 9) >= 0.6)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val theta = 0.6
+      val corpus = Tables.documents(s, d).filter(col("source") === "src1")
+        .select(col("doc_id"), col("text"))
+      val batch = withPlantedDups(corpus).filter(col("doc_id") >= 100000L)
+        .unionByName(Tables.documents(s, d).filter(col("source") === "src2")
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val all = corpus.withColumn("side", lit("c"))
+        .unionByName(batch.withColumn("side", lit("b")))
+      // one materialization feeds freq, the ranked prefix build, and
+      // both verify-join sides (the simjoin_prefix lesson)
+      val sh = all
+        .select(col("doc_id"), col("side"),
+          array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+        .filter(size(col("s")) > 0)
+        .localCheckpoint()
+      val freq = sh.select(explode(col("s")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("f"))
+      val ranked = sh.select(col("doc_id"), col("side"), explode(col("s")).as("g"))
+        .join(freq, "g")
+        .groupBy("doc_id", "side")
+        .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
+          count(lit(1)).as("n"))
+      val pref = ranked.select(col("doc_id"), col("side"),
+        explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
+      val cand = pref.filter(col("side") === "b").as("a")
+        .join(pref.filter(col("side") === "c").as("b"), col("a.g") === col("b.g"))
+        .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+        .distinct()
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      val screened = cand
+        .join(sh.filter(col("side") === "b")
+          .select(col("doc_id").as("bid"), col("s").as("s1")), "bid")
+        .join(sh.filter(col("side") === "c")
+          .select(col("doc_id").as("cid"), col("s").as("s2")), "cid")
+        .select(col("bid"),
+          round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
+            .as("j"))
+        .filter(col("j") >= theta)
+        .select(col("bid").as("doc_id")).distinct()
+      batch.select("doc_id").join(screened, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // X2+: EXACT set-similarity self-join via PREFIX FILTERING (the
     // PPJoin family's candidate rule): order each doc's distinct
     // 3-gram set rarest-first (global frequency asc, gram asc); two
