@@ -107,4 +107,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_abs_err") <= 0.1)
     assert(r.getAs[Double]("max_abs_err") <= 0.5)
   }
+  test("incremental near-dup screen: planted twins screened out, novel batch docs survive") {
+    // dedup_incremental_simjoin is oracled in the driver gate; this
+    // pins the SEMANTIC shape in-repo at sf0.001: every 80%-truncated
+    // twin (ids 100000+) is a near-dup of its corpus original at
+    // theta=0.6 and must be screened; the re-keyed src2 docs
+    // (ids 200000+) are novel against the src1 corpus here and must
+    // ALL survive, in order.
+    val got = SparkEntry.queries("dedup_incremental_simjoin")(
+      spark, SparkTestSession.sf0001).as[Long].collect().toSeq
+    assert(got.nonEmpty, "novel batch docs must survive the screen")
+    assert(got.forall(_ >= 200000L),
+      s"a planted twin survived the near-dup screen: ${got.filter(_ < 200000L)}")
+    val src2 = sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .filter(col("source") === "src2").select("doc_id")
+      .as[Long].collect().toSeq.map(_ + 200000L).sorted
+    assert(got == src2, "every novel src2 doc survives, ordered by id")
+  }
+
 }
