@@ -66,8 +66,27 @@ object Bench {
 
   /** Sorted-name query list — parent and children derive the shard
     * slices from this same ordering, so no name list crosses the
-    * process boundary. */
-  private def sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    * process boundary (shard forks inherit the parent's environment,
+    * so the optional filter below agrees across the boundary too).
+    *
+    * SPARK_GRAFT_BENCH_QUERIES (comma-separated names) restricts the
+    * set — used by the 100× spot-stress, where the declared pair
+    * emitters (see tools/scale_growth.py KNOWN_SUPERLINEAR) would
+    * produce output quadratic in the replica count and are excluded
+    * rather than silently timed out. Unknown names fail fast so a
+    * typo'd filter can't publish a silently-short artifact. */
+  private def sortedQueries = {
+    val base = SparkEntry.queries.toSeq.sortBy(_._1)
+    sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.trim).filter(_.nonEmpty) match {
+      case Some(sel) =>
+        val names = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val missing = names.diff(base.map(_._1).toSet)
+        require(missing.isEmpty,
+          s"unknown queries in SPARK_GRAFT_BENCH_QUERIES: ${missing.toSeq.sorted.mkString(", ")}")
+        base.filter(q => names(q._1))
+      case None => base
+    }
+  }
 
   private def shardSlice(i: Int, n: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
     val qs = sortedQueries

@@ -141,6 +141,71 @@ object NearDup {
     pairs.filter(col("cos") >= threshold)
   }
 
+  /** X79 SemDeDup-style semantic dedup (public method: Abbas et al.
+    * 2023, arXiv:2303.09540 — cluster the embedding space with a
+    * coarse quantizer, compare only within-cluster pairs, drop every
+    * vector with a semantic near-duplicate ranked before it).
+    *
+    * The quantizer here is the per-label DECIMAL-mean centroid table —
+    * the same accumulation-order-independent math as
+    * `embedding_centroids`, which is what keeps the whole pipeline
+    * hash-exact vs the SQL oracle. Assignment is argmax-cosine over
+    * the broadcast centroids, NOT the stored label: vectors that sit
+    * nearer a foreign centroid migrate, so this is a learned-space
+    * clustering, not a metadata block. Keep rule is the single-pass
+    * screen `dedup_incremental` also uses: v is dropped iff some
+    * u < v in its cluster has cos(u,v) ≥ τ — keepers are exactly the
+    * id-minimal elements of the ≥τ neighbor relation per cluster.
+    *
+    * Scale: centroid build is one hash agg over (label, pos);
+    * assignment is a crossJoin against the BROADCAST centroid table
+    * (L rows, L = cell count — at 100 TB this is the trained coarse
+    * quantizer, thousands of rows, still broadcast-sized) + a
+    * per-vector argmax, linear end-to-end. The within-cluster
+    * self-join is the declared quadratic-per-cell SemDeDup cost,
+    * bounded in production by cell cap / sub-splitting exactly as
+    * [[embeddingNearDupByLabel]] documents. */
+  def semDedupKeep(emb: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("double").cast("decimal(38,12)").as("x"))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)), 9).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("label").cast("int").as("centroid"), col("cv"),
+        Similarity.norm2(col("cv")).as("cn2"))
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.norm2(col("v")))
+    val byBest = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid"))
+    val best = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("n2"), col("centroid"),
+        round(Similarity.dot(col("v"), col("cv"))
+          / (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("ccos"))
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
+    val a = best.select(col("centroid"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("n2").as("n21"))
+    val b = best.select(col("centroid"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("n2").as("n22"))
+    val dropped = a.join(b, Seq("centroid"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(Similarity.dot(col("v1"), col("v2"))
+        / (sqrt(col("n21")) * sqrt(col("n22"))), 6) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    best.select(col("vec_id"), col("centroid"))
+      .join(dropped.select(col("vec_id"), lit(true).as("is_dup")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid"),
+        not(coalesce(col("is_dup"), lit(false))).as("kept"))
+  }
+
   /** Demo corpus with PLANTED near-dups: the documents plus, for
     * doc_id < 50, a copy truncated to ~80% of its text under
     * doc_id + 100000 — so the pair queries have deterministic non-empty
@@ -274,6 +339,46 @@ object NearDup {
         |SELECT label, id1, id2, cos FROM scored
         |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin) { (s, d) =>
       embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3).orderBy("id1", "id2")
+    },
+    // X79 SemDeDup (fully oracled): centroid-quantized clusters →
+    // within-cluster cosine pairs → id-minimal keeper per ≥τ
+    // neighborhood. Emits the full keep/drop partition so the oracle
+    // hashes assignment AND the screen, not just the survivor list.
+    Q("semdedup_keep",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |cm AS (
+        |  SELECT label, pos,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c
+        |  FROM ex GROUP BY label, pos),
+        |cent AS (
+        |  SELECT label AS centroid, list(c ORDER BY pos) AS cv
+        |  FROM cm GROUP BY label),
+        |centn AS (
+        |  SELECT centroid, cv,
+        |    list_sum(list_transform(cv, x -> x * x)) AS cn2
+        |  FROM cent),
+        |best AS (
+        |  SELECT vec_id, centroid, v, n2
+        |  FROM (
+        |    SELECT vec_id, centroid, v, n2,
+        |      round(list_inner_product(v, cv) / (sqrt(n2) * sqrt(cn2)), 6) AS ccos
+        |    FROM v CROSS JOIN centn)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid) = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM best a JOIN best b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+        |  WHERE round(list_inner_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.3)
+        |SELECT b.vec_id, CAST(b.centroid AS INT) AS centroid,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM best b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+        |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      semDedupKeep(Tables.embeddings(s, d), 0.3).orderBy("vec_id")
     },
     // Embedding-cosine near-dup via multi-table LSH over planted
     // perturbed copies (approximate; recall asserted in NearDupSpec).

@@ -125,4 +125,42 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == src2, "every novel src2 doc survives, ordered by id")
   }
 
+  test("X79 semdedup: keep/drop partitions the corpus, cluster-min ids are kept, co-clustered planted copies drop") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val nEmb = emb.count()
+    // the registered (raw-corpus, DuckDB-oracled) form keeps its contract shape
+    assert(SparkEntry.queries("semdedup_keep")(spark, SparkTestSession.sf0001)
+      .columns.toSeq == Seq("vec_id", "centroid", "kept"))
+    val res = NearDup.semDedupKeep(NearDup.withPlantedEmbeddingDups(emb), 0.3).cache()
+    try {
+      // every vector appears exactly once with a cluster and a verdict
+      assert(res.count() == nEmb + 40)
+      assert(res.select("vec_id").distinct().count() == nEmb + 40)
+      // keepers are the id-minimal elements: the smallest id in every
+      // cluster has no smaller-id neighbor, so it can never be dropped
+      val clusterMin = res.withColumn("rn",
+          row_number().over(Window.partitionBy("centroid").orderBy("vec_id")))
+        .filter(col("rn") === 1)
+      assert(clusterMin.filter(!col("kept")).count() == 0,
+        "a cluster's id-minimal vector was dropped")
+      // planted copies (cos ≈ 0.93 to their original, larger id): when
+      // assignment puts copy and original in the same cluster, the copy
+      // has a smaller-id ≥τ neighbor and MUST be dropped
+      val orig = res.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("o"), col("centroid").as("c_orig"))
+      val copies = res.filter(col("vec_id") >= 100000L)
+        .select((col("vec_id") - 100000L).as("o"),
+          col("centroid").as("c_copy"), col("kept"))
+      val coClustered = orig.join(copies, "o")
+        .filter(col("c_orig") === col("c_copy")).cache()
+      // measured 35/40 at sf0.001 (the perturbation can move a vector
+      // that sat near a cell boundary); floor pinned with margin
+      assert(coClustered.count() >= 32,
+        s"only ${coClustered.count()}/40 planted copies co-clustered")
+      assert(coClustered.filter(col("kept")).count() == 0,
+        "a co-clustered planted copy survived the screen")
+    } finally res.unpersist()
+  }
+
 }

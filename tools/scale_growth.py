@@ -29,6 +29,9 @@ KNOWN_SUPERLINEAR = {
     # filters it), so its cost grows with candidate pairs, not rows
     "minhash_calibration_bound",
     "embedding_near_dup_lsh", "embedding_near_dup_by_label", "simjoin_prefix",
+    # within-cluster screen over the fixture's `copies`-sized near-dup
+    # cells: the pair set (and so the cost) grows with copies², by design
+    "semdedup_keep",
     "jaccard_adjacent", "cc_components", "cc_clusters", "cc_keep_best",
     "dedup_apply_keep_best", "best_match_fuzzy", "contamination_matrix",
 }
