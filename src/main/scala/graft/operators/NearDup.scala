@@ -183,6 +183,10 @@ object NearDup {
       .withColumn("n2", Similarity.norm2(col("v")))
     val byBest = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid"))
+    // Materialized ONCE (the Graph.scala convention): three consumers
+    // below (both sides of the screen self-join + the verdict join)
+    // would otherwise each recompute the N×L fan-out and argmax —
+    // PlanAuditSpec pins the final plan at zero nested-loop joins.
     val best = v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("n2"), col("centroid"),
         round(Similarity.dot(col("v"), col("cv"))
@@ -190,6 +194,7 @@ object NearDup {
       .withColumn("rn", row_number().over(byBest))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
+      .localCheckpoint()
     val a = best.select(col("centroid"), col("vec_id").as("id1"),
       col("v").as("v1"), col("n2").as("n21"))
     val b = best.select(col("centroid"), col("vec_id").as("id2"),

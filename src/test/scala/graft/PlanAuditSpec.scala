@@ -164,6 +164,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"only the two 1-row stats broadcasts may nest-loop, saw $bnlj")
   }
 
+  test("semdedup: assignment materialized once, screen and verdict are keyed joins") {
+    val p = plan("semdedup_keep")
+    // the N×L centroid fan-out + argmax is checkpointed ONCE before its
+    // three consumers — the final plan must read the materialized
+    // assignment (no nested-loop join may survive into it; an
+    // un-checkpointed `best` showed up as THREE BroadcastNestedLoopJoin
+    // subtrees, recomputing the assignment per consumer)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment fan-out leaked into the final plan:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    // the within-cell screen (on centroid) and the keep/drop verdict
+    // (on vec_id) are keyed equi-joins over the checkpointed assignment
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"screen must be an equi-join:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"screen must ride the checkpointed assignment:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar hot paths") {
     // AQE wraps the plan and reports 0 codegen subtrees pre-execution —
     // inspect with AQE off (codegen behavior is identical underneath).
