@@ -359,6 +359,74 @@ object Dedup {
           round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9)
             .as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // X80: exact duplicated-SPAN detection (the public exact-substring
+    // dedup signal of Lee et al. 2022, arXiv:2107.06499, at fixed
+    // 8-token window granularity): every stride-1 8-token gram held by
+    // ≥2 distinct documents marks its window; overlapping/adjacent
+    // marked windows merge into maximal per-doc spans — the byte
+    // ranges a span-level scrubber would cut, where X1 drops whole
+    // docs and dedup_passages drops fixed chunks. Shapes: gram explode
+    // (≈ one row per token, the flagship ngram_count's own cost) →
+    // gram-keyed distinct-doc count (map-side partial) → gram-keyed
+    // join back of dup grams → doc-keyed islands window (partitioned
+    // by doc_id — scaling key, never global). No pair join anywhere:
+    // cross-doc duplication is detected by COUNT, not by comparing
+    // documents, so the cost is linear in token count at any corpus
+    // size.
+    Q("dup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    array_to_string(t[u.i:u.i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER w > 8
+        |         OR lag(pos) OVER w IS NULL THEN 1 ELSE 0 END AS b
+        |  FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  max(pos) + 8 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, gid
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      dupSpans(Tables.documents(s, d), 8).orderBy("doc_id", "span_start")
     }
   )
+
+  /** X80 core: per-doc maximal duplicated spans at `w`-token window
+    * granularity (see the `dup_spans` registration above for the full
+    * semantics and scale rationale). */
+  def dupSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("doc_id"), posexplode(TextFns.ngrams(col("text"), w)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val hit = g.join(dup, "gram").select("doc_id", "pos").distinct()
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = hit
+      .withColumn("b", when(col("pos") - lag(col("pos"), 1).over(byPos) > w
+        || lag(col("pos"), 1).over(byPos).isNull, 1).otherwise(0))
+      .withColumn("gid", sum(col("b")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("doc_id", "gid")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"),
+        (max(col("pos")) + lit(w) - min(col("pos"))).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+  }
 }

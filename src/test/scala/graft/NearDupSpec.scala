@@ -125,6 +125,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == src2, "every novel src2 doc survives, ordered by id")
   }
 
+  test("X80 dup_spans: a shared token run yields one merged maximal span per doc; unique text yields none") {
+    // doc 0 carries the 10-token run s1..s10 at token offset 3, doc 1
+    // at offset 2; every other token is unique, so the duplicated
+    // 8-grams are exactly the 3 windows inside the run → they merge to
+    // ONE span covering tokens [3,12] / [2,11] (10 tokens). Doc 2
+    // shares nothing and must emit nothing.
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"u1 u2 u3 $run u4 u5"),
+      (1L, s"v1 v2 $run v3"),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 12L, 10L), (1L, 2L, 11L, 10L)))
+  }
+
   test("X79 semdedup: keep/drop partitions the corpus, cluster-min ids are kept, co-clustered planted copies drop") {
     import org.apache.spark.sql.expressions.Window
     val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)
