@@ -131,6 +131,9 @@ class NearDupSpec extends AnyFunSuite {
     // 8-grams are exactly the 3 windows inside the run → they merge to
     // ONE span covering tokens [3,12] / [2,11] (10 tokens). Doc 2
     // shares nothing and must emit nothing.
+    // the registered (documents-table, DuckDB-oracled) form keeps its shape
+    assert(SparkEntry.queries("dup_spans")(spark, SparkTestSession.sf0001)
+      .columns.toSeq == Seq("doc_id", "span_start", "span_end", "span_tokens"))
     val run = (1 to 10).map(i => s"s$i").mkString(" ")
     val docs = Seq(
       (0L, s"u1 u2 u3 $run u4 u5"),
