@@ -144,6 +144,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("dup_spans: count-based dup detection on keyed joins, islands window partitioned by doc") {
+    val p = plan("dup_spans")
+    // cross-doc duplication is a gram-keyed COUNT + join-back — never a
+    // doc-pair comparison, so no nested-loop/cartesian may appear…
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span detection must not compare document pairs:\n$p")
+    // …and the gaps-and-islands merge shuffles on doc_id (scaling key),
+    // never a single partition
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("dedup is aggregation-shaped (partial+final), not a row_number window") {
     val p = plan("dedup_first_per_key")
     assert(p.contains("partial_min") || p.contains("partial_first") || p.contains("HashAggregate")
