@@ -144,6 +144,42 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == Seq((0L, 3L, 12L, 10L), (1L, 2L, 11L, 10L)))
   }
 
+  test("X80 property: random planted shared runs produce exactly their maximal spans") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Each sample plants several doc PAIRS sharing a unique L-token run
+    // (L >= 8) at independent random offsets, padded by per-doc unique
+    // tokens. The exact expected output is derivable: the dup grams are
+    // precisely the windows inside the run, which merge to ONE span
+    // [offset, offset+L-1] of L tokens per doc — nothing more, nothing
+    // less. Few samples, one Spark job each (each sample builds one
+    // corpus and runs the operator once).
+    val genCases = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, for {
+      runLen <- Gen.choose(8, 20)
+      p1 <- Gen.choose(0, 10); s1 <- Gen.choose(0, 10)
+      p2 <- Gen.choose(0, 10); s2 <- Gen.choose(0, 10)
+    } yield (runLen, p1, s1, p2, s2)))
+    val prop = Prop.forAll(genCases) { cases =>
+      def uniq(d: Long, tag: String, n: Int) =
+        (0 until n).map(i => s"u$d$tag$i").mkString(" ")
+      val docs = cases.zipWithIndex.flatMap { case ((l, p1, s1, p2, s2), k) =>
+        val run = (0 until l).map(i => s"r${k}x$i").mkString(" ")
+        Seq((2L * k, Seq(uniq(2L * k, "a", p1), run, uniq(2L * k, "b", s1))),
+            (2L * k + 1, Seq(uniq(2L * k + 1, "a", p2), run, uniq(2L * k + 1, "b", s2))))
+          .map { case (id, parts) => (id, parts.filter(_.nonEmpty).mkString(" ")) }
+      }
+      val expected = cases.zipWithIndex.flatMap { case ((l, p1, _, p2, _), k) =>
+        Seq((2L * k, p1.toLong, (p1 + l - 1).toLong, l.toLong),
+            (2L * k + 1, p2.toLong, (p2 + l - 1).toLong, l.toLong))
+      }.sortBy(x => (x._1, x._2))
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), 8)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got == expected
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop).passed)
+  }
+
   test("X79 semdedup: keep/drop partitions the corpus, cluster-min ids are kept, co-clustered planted copies drop") {
     import org.apache.spark.sql.expressions.Window
     val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)
