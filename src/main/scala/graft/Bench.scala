@@ -188,8 +188,11 @@ object Bench {
   /** Fork one fresh JVM for shard i/n; forward its output to stderr
     * (parent stdout is reserved for the driver contract line). Returns
     * None if the fork path is unusable (missing java, bad classpath…) —
-    * caller falls back to in-process. */
-  private def forkShard(i: Int, n: Int): Option[Seq[(String, Seq[Double])]] = {
+    * caller falls back to in-process. `queryFilter`, when set, narrows
+    * the child's registry via SPARK_GRAFT_BENCH_QUERIES — used by the
+    * contention-recovery re-run, which re-times only flagged queries. */
+  private def forkShard(i: Int, n: Int,
+                        queryFilter: Option[Seq[String]] = None): Option[Seq[(String, Seq[Double])]] = {
     val out = java.nio.file.Files.createTempFile(s"graft_bench_$i", ".tsv")
     try {
       val javaBin = java.nio.file.Paths.get(
@@ -199,6 +202,8 @@ object Bench {
         "-cp", System.getProperty("java.class.path"),
         "graft.Bench", "--shard", i.toString, n.toString, out.toString)
       val pb = new ProcessBuilder(cmd: _*)
+      queryFilter.foreach(qs =>
+        pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", qs.mkString(",")))
       pb.redirectErrorStream(true)
       val p = pb.start()
       val gobbler = new Thread(() => {
@@ -244,6 +249,16 @@ object Bench {
     case _ => parentMain()
   }
 
+  /** Within-shard run-spread contention signature (VERDICT r10 task 3):
+    * calibrated on the r07/r09/r10 contended artifacts — a query whose
+    * three same-JVM runs spread >3× with max ≥ 0.45 s reflects co-tenant
+    * load, not plan behavior. ≥5 such queries flags the run. */
+  private def spreadFlagged(rows: Seq[(String, Seq[Double])]): Seq[String] =
+    rows.collect { case (n, ts)
+      if { val ok = ts.filter(_ >= 0)
+           ok.nonEmpty && ok.min > 0 && ok.max >= 0.45 && ok.max / ok.min > 3.0 } => n
+    }
+
   private def parentMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -252,7 +267,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "8").toInt))
 
     var forked = true
-    val perQuery: Seq[(String, Seq[Double])] = (0 until shards).flatMap { i =>
+    val firstPass: Seq[(String, Seq[Double])] = (0 until shards).flatMap { i =>
       System.err.println(s"[bench] === shard $i/$shards ===")
       forkShard(i, shards) match {
         case Some(rows) => rows
@@ -261,6 +276,32 @@ object Bench {
           inProcessShard(i, shards, sfDir)
       }
     }
+
+    // Contention RECOVERY (VERDICT r11 task 1): detection alone left the
+    // r10 and r11 official medians distorted — the stamp fired but the
+    // round record still carried the contended numbers. When the run
+    // flags as contended, re-time ONLY the flagged queries once in one
+    // fresh forked JVM (same warmup + reps protocol) and splice those
+    // run arrays in; the untouched queries keep their first-pass times.
+    // One retry only — if the re-run still spreads, the artifact stays
+    // stamped contended rather than chasing a quiet machine forever.
+    // GRAFT_BENCH_NO_RECOVER=1 disables (used by the guard self-test).
+    val flaggedFirst = spreadFlagged(firstPass)
+    val contendedFirst = flaggedFirst.size >= 5
+    val (perQuery, recoveredQs) =
+      if (contendedFirst && forked && !sys.env.contains("GRAFT_BENCH_NO_RECOVER")) {
+        System.err.println(s"[bench] contended first pass (${flaggedFirst.size} " +
+          s"queries >3x spread) — re-running flagged queries in a fresh JVM")
+        forkShard(0, 1, Some(flaggedFirst.sorted)) match {
+          case Some(rerun) =>
+            val m = rerun.toMap
+            (firstPass.map { case (n, ts) => n -> m.getOrElse(n, ts) },
+              m.keys.toSeq.sorted)
+          case None =>
+            System.err.println("[bench] recovery fork failed — keeping first pass")
+            (firstPass, Seq.empty[String])
+        }
+      } else (firstPass, Seq.empty[String])
 
     // median over SUCCESSFUL runs only: sorting -1s into the pick
     // would make one intermittent failure report min(successes) — a
@@ -312,35 +353,63 @@ object Bench {
       // spikes (r08 published doc_quality at a 4.09 s median over runs
       // [4.13, 4.09, 1.12]), so the regression guard keys on per-query
       // min (tools/bench_guard.py) and BASELINE.md records both.
-      val totalMin = r3(results.map(_._2._2).filter(_ >= 0).sum)
-      // Publish-time contention detection (VERDICT r10 task 3): the r07,
-      // r09 and r10 driver artifacts were all distorted by co-tenant
-      // load, visible as many-query within-shard run spreads no plan
-      // change can produce (e.g. join_left_outer [7.35, 2.36, 6.72]).
-      // Calibrated on those artifacts: ≥5 queries with max/min > 3× and
-      // max ≥ 0.45 s flags every known contended run (8, 20 hits) and no
-      // known clean run (0–3 hits). The stamp rides in the artifact so
-      // tools/bench_guard.py can warn and quarantine without a rename.
-      val spread3x = results.count { case (_, (_, mn, mx), _) =>
-        mn > 0 && mx >= 0.45 && mx / mn > 3.0
-      }
+      // Publish-time contention detection (VERDICT r10 task 3) +
+      // recovery (r11 task 1): the stamp reflects the POST-recovery run
+      // arrays — a recovered run that settled publishes contended:false
+      // with the recovery recorded, and the raw contended first pass is
+      // preserved alongside as <out>_contended.json for audit.
+      val spread3x = spreadFlagged(perQuery).size
       val contended = spread3x >= 5
       if (contended) System.err.println(
         s"[bench] WARNING: $spread3x queries show >3x within-shard run spread — " +
           "machine contention signature; artifact stamped \"contended\":true")
+      // An active SPARK_GRAFT_BENCH_QUERIES filter is stamped explicitly
+      // so a subset/spot-stress artifact can never be mistaken for a
+      // full-registry sweep by anything downstream of n_queries.
+      val filterStamp = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+        .map(_.trim).filter(_.nonEmpty) match {
+        case Some(sel) =>
+          val names = sel.split(",").map(_.trim).filter(_.nonEmpty).sorted
+          s""","filtered":true,"filter":[${names.map(n => "\"" + esc(n) + "\"").mkString(",")}]"""
+        case None => ""
+      }
+      val recoveryStamp =
+        if (recoveredQs.nonEmpty)
+          s""","recovered":true,"recovered_queries":[${recoveredQs.map(n => "\"" + esc(n) + "\"").mkString(",")}]"""
+        else ""
       val protocol = s"""{"reps":$Reps,"aggregation":"median_of_successful",""" +
         s""""regression_guard":"per-query min (tools/bench_guard.py)",""" +
         s""""warmup":"per shard: all tables noop-scanned + 3 synthetic JIT pipeline runs, then 1 untimed run per query",""" +
         s""""indexes":"persisted across queries and shards; build cost falls in warmup",""" +
+        s""""contention_recovery":"flagged queries re-timed once in a fresh JVM when >=5 spread >3x",""" +
         s""""shards":$shards,"isolation":"${if (forked) "fresh JVM per shard" else "fresh SparkContext per shard (fork unavailable)"}",""" +
         s""""cpus":"${esc(cpus)}","spark":"${esc(org.apache.spark.SPARK_VERSION)}","sink":"noop"}"""
-      val detail = results.map { case (k, (med, mn, mx), ts) =>
-        "\"" + k + "\":{\"median\":" + r3(med) + ",\"min\":" + r3(mn) +
-          ",\"max\":" + r3(mx) + ",\"runs\":[" + ts.map(r3).mkString(",") + "]}"
-      }.mkString("{", ",", "}")
+      def artifactJson(rs: Seq[(String, (Double, Double, Double), Seq[Double])],
+                       cont: Boolean, nSpread: Int, extra: String): String = {
+        val totalMed = r3(rs.map(_._2._1).filter(_ >= 0).sum)
+        val totalMn = r3(rs.map(_._2._2).filter(_ >= 0).sum)
+        val qMap = rs.map { case (k, (med, _, _), _) => s"\"" + k + "\":" + r3(med) }
+          .mkString("{", ",", "}")
+        val detail = rs.map { case (k, (med, mn, mx), ts) =>
+          "\"" + k + "\":{\"median\":" + r3(med) + ",\"min\":" + r3(mn) +
+            ",\"max\":" + r3(mx) + ",\"runs\":[" + ts.map(r3).mkString(",") + "]}"
+        }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":$totalMed,"value_min":$totalMn,"unit":"sec","n_queries":${rs.size},"contended":$cont,"n_spread3x":$nSpread,"sf":"${esc(sfDir)}"$extra,"protocol":$protocol,"queries":$qMap,"query_detail":$detail}"""
+      }
       java.nio.file.Files.write(out,
-        s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","n_queries":${results.size},"contended":$contended,"n_spread3x":$spread3x,"sf":"${esc(sfDir)}","protocol":$protocol,"queries":$qs,"query_detail":$detail}""".getBytes("UTF-8"))
+        artifactJson(results, contended, spread3x, filterStamp + recoveryStamp)
+          .getBytes("UTF-8"))
       System.err.println(s"[bench] self-published $out")
+      if (recoveredQs.nonEmpty) {
+        val contOut = out.resolveSibling(
+          out.getFileName.toString.replaceAll("\\.json$", "") + "_contended.json")
+        val contResults = firstPass.map { case (n, ts) => (n, stats(ts), ts) }
+        java.nio.file.Files.write(contOut,
+          artifactJson(contResults, true, flaggedFirst.size,
+            filterStamp + s""","recovered":false,"note":"raw contended first pass; clean record is ${esc(out.getFileName.toString)}"""")
+            .getBytes("UTF-8"))
+        System.err.println(s"[bench] contended first pass preserved at $contOut")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-publish failed (non-fatal): ${e.getMessage}")
     }

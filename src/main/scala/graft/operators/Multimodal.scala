@@ -172,23 +172,80 @@ object Multimodal {
         .orderBy("lang", "label")
     }.copy(headline = true),
 
-    // Binary media plumbing (no SQL oracle — mapPartitions decode;
-    // values pinned by MultimodalSpec instead).
-    Q.noOracle("multimodal_media_features") { (s, d) =>
+    // Binary media decode, FULLY oracled (VERDICT r11 task 4): the fake
+    // decode is deterministic arithmetic — a 31-polynomial hash with
+    // 64-bit wraparound — so DuckDB can replay it exactly: bytes come
+    // off hex(encode(text)) two chars at a time, the reduce runs in
+    // HUGEINT mod 2^64, and the unsigned→signed reinterpretation at the
+    // end reproduces Java's long overflow bit-for-bit. The Spark side
+    // still runs the REAL pipeline (typed mapPartitions over binary
+    // payloads); only the oracle is expressed arithmetically.
+    Q("multimodal_media_features",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, media_type, n,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, n), i ->
+        |          ((strpos('0123456789ABCDEF', substring(hx, 2*i+1, 1)) - 1) * 16 +
+        |           (strpos('0123456789ABCDEF', substring(hx, 2*i+2, 1)) - 1))::HUGEINT)),
+        |      (a, x) -> (a * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM b)
+        |SELECT doc_id, media_type, CAST(n AS INT) AS n_bytes,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS checksum,
+        |  16 + CAST(hu % 240 AS INT) AS width,
+        |  16 + CAST((hu // 256) % 240 AS INT) AS height
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
       mediaFeatures(asMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")
     },
 
-    // X15+: stubbed resize — fixed 16×16 output payload per doc (binary
-    // column dropped from the registry dump: the invariant is pinned in
-    // MultimodalSpec; here the rows-only check sees the metadata).
-    Q.noOracle("multimodal_resize") { (s, d) =>
+    // X15+: stubbed resize — fixed 16×16 output payload per doc. The
+    // metadata projection is oracled (payload resample itself is pinned
+    // byte-for-byte in MultimodalSpec; the registry dump drops the
+    // binary column, as for every binary-emitting query).
+    Q("multimodal_resize",
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  16 AS width, 16 AS height,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes_in
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       resizeMedia(asMedia(Tables.documents(s, d)), 16, 16)
         .toDF().select("doc_id", "media_type", "width", "height", "n_bytes_in")
         .orderBy("doc_id")
     },
 
-    // X15+: stubbed frame sampling over the "video" third of the corpus.
-    Q.noOracle("multimodal_frame_sample") { (s, d) =>
+    // X15+: stubbed frame sampling over the "video" third of the
+    // corpus, oracled the same way as media_features — every 4th
+    // 256-byte frame, per-frame polynomial checksum replayed over the
+    // matching hex slice.
+    Q("multimodal_frame_sample",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, hx, CAST(u.i AS INT) AS frame_no,
+        |    CAST(least(256, n - u.i * 256) AS INT) AS n_bytes
+        |  FROM b, unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS u(i)
+        |  WHERE u.i % 4 = 0),
+        |h AS (
+        |  SELECT doc_id, frame_no, n_bytes,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(0, n_bytes), j ->
+        |          ((strpos('0123456789ABCDEF', substring(hx, 2*(frame_no*256 + j)+1, 1)) - 1) * 16 +
+        |           (strpos('0123456789ABCDEF', substring(hx, 2*(frame_no*256 + j)+2, 1)) - 1))::HUGEINT)),
+        |      (a, x) -> (a * 31 + x) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM f)
+        |SELECT doc_id, frame_no, n_bytes,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS checksum
+        |FROM h ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
       sampleFrames(asMedia(Tables.documents(s, d)))
         .toDF().orderBy("doc_id", "frame_no")
     }

@@ -157,6 +157,18 @@ object NearDup {
     * u < v in its cluster has cos(u,v) ≥ τ — keepers are exactly the
     * id-minimal elements of the ≥τ neighbor relation per cluster.
     *
+    * DELIBERATE deviation from the paper's keep rule: this is an
+    * id-minimal SCREEN, not transitive duplicate-group grouping. On a
+    * chain a–b–c with cos(a,b) ≥ τ, cos(b,c) ≥ τ but cos(a,c) < τ,
+    * Abbas et al. keep one representative per connected duplicate
+    * group (a and c survive); this screen drops b against a and then
+    * ALSO drops c against the already-dropped b — keepers are not a
+    * maximal independent set, so it can over-drop relative to the
+    * cited method. The one-pass rule is chosen because it is
+    * single-join computable (transitive grouping needs the iterated
+    * connected-components machinery of X21) and expressible in exact
+    * SQL, which is what lets the oracle hash the full partition.
+    *
     * Scale: centroid build is one hash agg over (label, pos);
     * assignment is a crossJoin against the BROADCAST centroid table
     * (L rows, L = cell count — at 100 TB this is the trained coarse

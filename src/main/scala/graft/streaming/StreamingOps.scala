@@ -344,9 +344,12 @@ object StreamingOps {
             //      the watermark (possible only via old STATE, whose
             //      rows predate this batch), close it NOW — the
             //      watermark position is the proof it is final: any
-            //      future non-late row has ts >= wm >= last+gap and so
+            //      future non-late row has ts >= wm > last+gap and so
             //      must open a NEW session. Same ClosedSession the
             //      timeout would have emitted, just not deferred.
+            //      (Strictly behind: at wm == last+gap, ms-flooring of
+            //      the close timestamp means a µs-precision row could
+            //      still merge, so we defer to the timeout exactly.)
             // Batch runs (the oracled form) have no watermark
             // (getCurrentWatermarkMs throws): treat as -inf, keeping
             // every row and the pure timeout path — oracle unchanged.
@@ -376,7 +379,12 @@ object StreamingOps {
             }
             cur.foreach { s =>
               val closeAtMs = s.last_us / 1000L + gapUs / 1000L
-              if (wmMs >= closeAtMs) {
+              // strict >: setTimeoutTimestamp(closeAtMs) is legal at
+              // wm == closeAtMs and the timeout only fires once the
+              // watermark strictly exceeds it. With µs event times and
+              // a ms-floored closeAtMs, a non-late row at equality can
+              // still extend the session — closing here would split it.
+              if (wmMs > closeAtMs) {
                 if (st.exists) st.remove()
                 closed += ClosedSession(uid, s.start_us, s.last_us + gapUs, s.n)
               } else {
