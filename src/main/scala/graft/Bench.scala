@@ -42,7 +42,17 @@ import org.apache.spark.sql.SparkSession
   * the self-published BENCH_SELF_r{N}.json.
   */
 object Bench {
-  private val Reps = 3
+  /** Timed reps per query (after the untimed codegen run). Default 3 —
+    * the round-artifact protocol. SPARK_GRAFT_BENCH_REPS lowers it for
+    * the 100× full-registry stress, where 215 queries × 4 executions
+    * is hours of wall-clock and the growth key (min-of-reps) is
+    * dominated by multi-second query times, not JIT jitter; the value
+    * rides in the artifact's protocol stamp either way. */
+  private val Reps = {
+    val r = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(r >= 1 && r <= 9, s"SPARK_GRAFT_BENCH_REPS out of range: $r")
+    r
+  }
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -234,6 +234,69 @@ object NearDup {
           array_join(slice(TextFns.rawTokens(col("text")), lit(1),
             greatest(lit(3), (size(TextFns.rawTokens(col("text"))) * 4 / 5).cast("int"))), " ").as("text")))
 
+  /** Distinct 3-gram shingle set per doc, the unit both the batch and
+    * streaming incremental screens persist and exchange: (doc_id, s).
+    * Empty-shingle docs (fewer than 3 tokens) are dropped — they can
+    * never reach Jaccard ≥ θ against anything. */
+  def shingles3(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+      .filter(size(col("s")) > 0)
+
+  /** Core of the incremental near-dup screen, shared VERBATIM by the
+    * batch registry form (`dedup_incremental_simjoin`) and the
+    * streaming `foreachBatch` form (StreamingOps.nearDupScreenStream):
+    * the R-S prefix-filtered set-similarity join. Both sides' distinct
+    * shingle sets are ranked by ONE global rarity order (gram frequency
+    * over corpus ∪ batch, ascending, gram as tiebreak — prefix
+    * correctness requires a single shared total order), only the
+    * |s| − ⌈θ·|s|⌉ + 1 prefix grams explode per side, candidates are
+    * the equi-join of batch prefixes against corpus prefixes, and exact
+    * Jaccard ≥ θ verifies candidates only. EXACT: prefix filtering has
+    * no false negatives, so the screen is oracle-able brute force.
+    *
+    * Returns the batch doc_ids verified as near-dups of SOME corpus
+    * doc. doc_ids are assumed unique across corpus ∪ batch (both
+    * callers construct them so); a shared id would self-match.
+    *
+    * 100 TB posture: unchanged from the registry form's doc — the
+    * batch shuffles on its own prefix grams only, rare-first ordering
+    * keeps prefix buckets small, the corpus is consulted but never
+    * re-paired against itself. */
+  def nearDupVerdicts(corpusSh: DataFrame, batchSh: DataFrame,
+                      theta: Double): DataFrame = {
+    // one materialization feeds freq, the ranked prefix build, and
+    // both verify-join sides (the simjoin_prefix lesson)
+    val sh = corpusSh.select(col("doc_id"), col("s")).withColumn("side", lit("c"))
+      .unionByName(batchSh.select(col("doc_id"), col("s")).withColumn("side", lit("b")))
+      .localCheckpoint()
+    val freq = sh.select(explode(col("s")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("f"))
+    val ranked = sh.select(col("doc_id"), col("side"), explode(col("s")).as("g"))
+      .join(freq, "g")
+      .groupBy("doc_id", "side")
+      .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
+        count(lit(1)).as("n"))
+    val pref = ranked.select(col("doc_id"), col("side"),
+      explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
+        (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
+    val cand = pref.filter(col("side") === "b").as("a")
+      .join(pref.filter(col("side") === "c").as("b"), col("a.g") === col("b.g"))
+      .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+      .distinct()
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    cand
+      .join(sh.filter(col("side") === "b")
+        .select(col("doc_id").as("bid"), col("s").as("s1")), "bid")
+      .join(sh.filter(col("side") === "c")
+        .select(col("doc_id").as("cid"), col("s").as("s2")), "cid")
+      .select(col("bid"),
+        round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
+          .as("j"))
+      .filter(col("j") >= theta)
+      .select(col("bid").as("doc_id")).distinct()
+  }
+
   /** Embeddings plus planted near-dups: for vec_id < 40, a copy under
     * vec_id + 100000 with every 8th dimension zeroed — cosine ≈ 0.93
     * to its original, far above the random-pair tail (≤ ~0.47). */
@@ -512,40 +575,7 @@ object NearDup {
       val batch = withPlantedDups(corpus).filter(col("doc_id") >= 100000L)
         .unionByName(Tables.documents(s, d).filter(col("source") === "src2")
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      val all = corpus.withColumn("side", lit("c"))
-        .unionByName(batch.withColumn("side", lit("b")))
-      // one materialization feeds freq, the ranked prefix build, and
-      // both verify-join sides (the simjoin_prefix lesson)
-      val sh = all
-        .select(col("doc_id"), col("side"),
-          array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
-        .filter(size(col("s")) > 0)
-        .localCheckpoint()
-      val freq = sh.select(explode(col("s")).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("f"))
-      val ranked = sh.select(col("doc_id"), col("side"), explode(col("s")).as("g"))
-        .join(freq, "g")
-        .groupBy("doc_id", "side")
-        .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
-          count(lit(1)).as("n"))
-      val pref = ranked.select(col("doc_id"), col("side"),
-        explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
-          (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
-      val cand = pref.filter(col("side") === "b").as("a")
-        .join(pref.filter(col("side") === "c").as("b"), col("a.g") === col("b.g"))
-        .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
-        .distinct()
-      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
-      val screened = cand
-        .join(sh.filter(col("side") === "b")
-          .select(col("doc_id").as("bid"), col("s").as("s1")), "bid")
-        .join(sh.filter(col("side") === "c")
-          .select(col("doc_id").as("cid"), col("s").as("s2")), "cid")
-        .select(col("bid"),
-          round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
-            .as("j"))
-        .filter(col("j") >= theta)
-        .select(col("bid").as("doc_id")).distinct()
+      val screened = nearDupVerdicts(shingles3(corpus), shingles3(batch), theta)
       batch.select("doc_id").join(screened, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
     },

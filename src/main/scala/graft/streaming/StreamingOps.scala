@@ -485,6 +485,90 @@ object StreamingOps {
     fs.rename(tmp, path)
   }
 
+  /** X81: STREAMING near-dup ingest screen — the streaming form of
+    * X50's `dedup_incremental_simjoin` (the two machines composed, per
+    * the r11 verdict: the X50 prefix-filter screen riding the X59
+    * foreachBatch idempotent-apply shape). Each micro-batch of
+    * documents (doc_id, text) is screened against the PERSISTED corpus
+    * shingle index by the exact R-S prefix-filtered set-similarity
+    * join ([[graft.operators.NearDup.nearDupVerdicts]] — the verbatim
+    * batch code path), verdicts land under
+    * `verdictDir/ingest_batch=<id>/`, and the batch's NOVEL docs'
+    * shingle sets are appended to the index under
+    * `indexDir/ingest_batch=<id>/` so later batches screen against
+    * them.
+    *
+    * Replay idempotence (the X59 lesson, adapted): foreachBatch replays
+    * a failed batch with the SAME batchId, so (1) the corpus read
+    * filters `ingest_batch < batchId` — a replay screens against
+    * exactly the index prefix the first attempt saw, even if that
+    * attempt's own index rows were already written; (2) both writes
+    * overwrite their single `ingest_batch=<id>` partition directory —
+    * re-running produces byte-identical content in place, never
+    * duplicate rows. Verdicts are therefore a pure function of
+    * (batch data, batchId, index prefix), which is what the spec
+    * asserts by re-applying a batch and diffing.
+    *
+    * 100 TB posture: the index is the production artifact (per-doc
+    * distinct shingle sets, partitioned by ingest batch — prunable,
+    * compactable); each micro-batch's work is the batch screen's own
+    * linear-in-batch cost, and the corpus side is only ever equi-joined
+    * on prefix grams, never re-paired against itself. The global
+    * rarity order is recomputed over corpus ∪ batch per trigger (one
+    * hash agg over the index) — at warehouse scale that frequency
+    * table would itself be the maintained artifact (X74's incremental
+    * agg merge is the machinery), noted here rather than built twice. */
+  def nearDupScreenStream(docs: DataFrame, indexDir: String,
+                          verdictDir: String, checkpoint: String,
+                          theta: Double = 0.6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenNearDupBatch(batch, batchId, indexDir, verdictDir, theta)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Seed the [[nearDupScreenStream]] index with a pre-existing corpus:
+    * its shingle sets land under `ingest_batch=-1`, strictly before
+    * every stream batch id (foreachBatch ids start at 0). */
+  def seedNearDupIndex(corpus: DataFrame, indexDir: String): Unit =
+    graft.operators.NearDup.shingles3(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/ingest_batch=-1")
+
+  /** One micro-batch of [[nearDupScreenStream]]: screen, write
+    * verdicts, admit novel docs to the index. Public so tests can
+    * replay a batch directly and assert idempotence. */
+  def screenNearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                         verdictDir: String, theta: Double): Unit = {
+    val spark = batch.sparkSession
+    // materialize once: shingling feeds the screen (both join sides via
+    // nearDupVerdicts' own checkpoint), the verdict join, and the index
+    // append — and a memory-stream batch re-evaluates per action
+    val bsh = graft.operators.NearDup.shingles3(batch).localCheckpoint()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(conf)
+    val corpusSh =
+      if (fs.exists(idxPath))
+        spark.read.parquet(indexDir)
+          .filter(col("ingest_batch") < batchId)
+          .select(col("doc_id"), col("s"))
+      else bsh.limit(0).select(col("doc_id"), col("s"))
+    val dups = graft.operators.NearDup
+      .nearDupVerdicts(corpusSh, bsh, theta)
+      .localCheckpoint() // two consumers: verdict join + index anti-join
+    // verdict covers EVERY batch doc, including sub-3-token ones the
+    // shingler drops (they are trivially novel)
+    batch.select(col("doc_id")).distinct()
+      .join(dups.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .write.mode("overwrite").parquet(s"$verdictDir/ingest_batch=$batchId")
+    bsh.join(dups, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/ingest_batch=$batchId")
+  }
+
   /** G22++: STREAM-STATIC enrichment — every event decorated with its
     * user's customer→nation dimension attributes, the lookup-join shape
     * of every production clickstream pipeline (the static side is a

@@ -70,7 +70,8 @@ class ReadmeIndexSpec extends AnyFunSuite {
     "G24b" -> "sources/Sinks.scala",
     "G33" -> "WordCount.scala",
     "X59" -> "streaming/StreamingOps.scala",
-    "X60" -> "sources/Sinks.scala")
+    "X60" -> "sources/Sinks.scala",
+    "X81" -> "streaming/StreamingOps.scala")
 
   test("every SURVEY §2b row ID is attributed to a registered query or a pinned surface") {
     val survey = new String(

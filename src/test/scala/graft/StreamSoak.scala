@@ -108,6 +108,117 @@ object StreamSoak {
         .option("checkpointLocation", s"$work/ckpt_activity").start()
     }
 
+    // X33+TTL (VERDICT r11 task 5): the TTL configuration of the same
+    // processor, with eviction OBSERVED, not just configured. TTL is
+    // processing-time, so back-to-back micro-batches never age state —
+    // the soak drives it in two phases: (1) stream all but one part
+    // file (state for every user lands in RocksDB with expiration =
+    // lastWrite + ttl), (2) sleep past the TTL, drop the held-back file
+    // into the source, and resume from the same checkpoint. The tail
+    // batch's TTL cleanup sweeps the expired index — for every user,
+    // touched in the tail or not — and tail users restart from EMPTY
+    // state (the documented went-cold read), so their snapshots must
+    // equal the batch form of the processor over the tail file alone.
+    //
+    // The TTL must EXCEED phase 1's wall time: a short TTL (first
+    // attempt used 2 s) expires the whole key space between every pair
+    // of phase-1 micro-batches, so each batch runs a full
+    // clearExpiredStateForAllKeys sweep AND rewrites every key —
+    // a per-batch eviction/tombstone storm that turned a 6 s soak into
+    // 20+ min of RocksDB prefix-scanning over deletions. With TTL >
+    // phase-1 duration, phase 1 pays only the TTL index writes and the
+    // single sweep happens where the scenario wants it: the tail batch.
+    val ttlSec = 60L
+    val ttlSrcRoot = s"$work/ttl_src"
+    val ttlEventsDir = java.nio.file.Paths.get(ttlSrcRoot, "events.parquet")
+    java.nio.file.Files.createDirectories(ttlEventsDir)
+    val partFiles = new java.io.File(s"$fixtureDir/events.parquet").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(partFiles.length >= 2, s"TTL soak needs >=2 event part files, got ${partFiles.length}")
+    def cpIn(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath, ttlEventsDir.resolve(f.getName))
+    partFiles.init.foreach(cpIn)
+    // phase 2 resumes the phase-1 checkpoint, so its sink must be
+    // checkpoint-recoverable — the memory sink is not ("this query does
+    // not support recovering from checkpoint location"); foreachBatch
+    // into parquet is, and is the X59 machinery anyway
+    def ttlQuery(out: Option[String]) = {
+      val snaps = StreamingOps.userActivityTtl(
+        StreamingOps.readEventsStream(spark, ttlSrcRoot, perTrigger)
+          .select(col("user_id"), col("event_type")).as[(Long, String)],
+        java.time.Duration.ofSeconds(ttlSec)).toDF()
+      val w = out match {
+        case Some(dir) => snaps.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(dir)
+        }
+        case None => snaps.writeStream.format("noop")
+      }
+      w.outputMode("update")
+        .option("checkpointLocation", s"$work/ckpt_tws_ttl").start()
+    }
+    // TimeMode.ProcessingTime makes shouldRunAnotherBatch always-true:
+    // the engine keeps constructing EMPTY micro-batches for timer/TTL
+    // work after the files drain (each one committing every RocksDB
+    // partition — observed 835 batches in 20 min), so neither
+    // processAllAvailable nor Trigger.AvailableNow ever concludes the
+    // run. A processing-time stateful query is MEANT to run forever;
+    // the soak instead drains it by polling progress until the phase's
+    // input rows are all consumed, then stops the query itself.
+    case class TtlPhase(dataBatches: Int, removed: Long, peakRows: Long,
+                        peakBytes: Long, outRows: Long)
+    def drainTtl(q: StreamingQuery, wantRows: Long): TtlPhase = {
+      val deadline = System.currentTimeMillis() + 600000
+      val seen = scala.collection.mutable.Set[Long]() // batchIds consumed
+      var (rows, batches, removed, outRows) = (0L, 0, 0L, 0L)
+      var (peakRows, peakBytes) = (0L, 0L)
+      def absorb(): Unit = q.recentProgress.foreach { p =>
+        // accumulate by batchId: empty TTL batches churn fast enough to
+        // rotate data batches out of the bounded recentProgress buffer
+        if (seen.add(p.batchId)) {
+          rows += p.numInputRows
+          if (p.numInputRows > 0) batches += 1
+          outRows += math.max(0L, p.sink.numOutputRows)
+          p.stateOperators.foreach { s =>
+            removed += Option(s.customMetrics.get("numValuesRemovedDueToTTLExpiry"))
+              .map(_.longValue).getOrElse(0L)
+            peakRows = math.max(peakRows, s.numRowsTotal)
+            peakBytes = math.max(peakBytes, s.memoryUsedBytes)
+          }
+        }
+      }
+      while (rows < wantRows && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500); absorb()
+      }
+      q.stop(); q.awaitTermination(60000); absorb()
+      require(rows >= wantRows, s"TTL phase drained $rows of $wantRows rows")
+      TtlPhase(batches, removed, peakRows, peakBytes, outRows)
+    }
+    def rowsIn(fs: Seq[java.io.File]): Long =
+      spark.read.parquet(fs.map(_.getPath): _*).count()
+    val tailSnapDir = s"$work/tws_ttl_tail"
+    val t0Ttl = System.nanoTime()
+    val q1 = ttlQuery(None)
+    val phase1 = drainTtl(q1, rowsIn(partFiles.init.toSeq))
+    Thread.sleep(ttlSec * 1000 + 4000) // comfortably past every expiration
+    cpIn(partFiles.last)
+    val q2 = ttlQuery(Some(tailSnapDir))
+    val phase2 = drainTtl(q2, rowsIn(Seq(partFiles.last)))
+    // tail snapshots == the batch form over the tail file alone (update
+    // mode + single tail data batch → one snapshot row per tail user)
+    val gotTail = spark.read.parquet(tailSnapDir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val wantTail = StreamingOps.userActivity(
+      spark.read.parquet(partFiles.last.getPath)
+        .select(col("user_id"), col("event_type")).as[(Long, String)])
+      .as[(Long, Long, Long, String)].collect().toSet
+    val ttlSoak = Soak("user_activity_tws_ttl",
+      (System.nanoTime() - t0Ttl) / 1e9,
+      phase1.dataBatches + phase2.dataBatches,
+      phase1.removed + phase2.removed, phase1.peakRows,
+      math.max(phase1.peakBytes, phase2.peakBytes),
+      gotTail.size.toLong) // foreachBatch sinks report no output rows
+
     // X59: foreachBatch CDC merge — per-batch dedup agg + keyed merge
     // into a parquet snapshot; must converge to one row per key
     val snapDir = s"$work/cdc_snapshot"
@@ -147,12 +258,25 @@ object StreamSoak {
     }
     check(snapRows == nUsers,
       s"CDC snapshot has $snapRows rows, expected one per key ($nUsers)")
+    check(ttlSoak.removed > 0,
+      s"TTL eviction never engaged (numValuesRemovedDueToTTLExpiry=${ttlSoak.removed})")
+    check(gotTail == wantTail,
+      s"post-eviction tail snapshots diverge from the batch form over the tail " +
+        s"file (got ${gotTail.size} users, want ${wantTail.size})")
 
-    val all = Seq(tumbling, sessions, activity, cdc)
+    val all = Seq(tumbling, sessions, activity, ttlSoak, cdc)
     val json = all.map { s =>
       f"""\"${s.name}\":{\"sec\":${math.rint(s.sec * 100) / 100},\"batches\":${s.dataBatches},\"rows_removed\":${s.removed},\"peak_state_rows\":${s.peakStateRows},\"peak_state_bytes\":${s.peakStateBytes},\"out_rows\":${s.outRows}}"""
     }.mkString("{", ",", "}")
-    println(s"""[soak] {"fixture":"$fixtureDir","n_input":$nInput,"n_users":$nUsers,"state_bound_rows":$stateBound,"cdc_snapshot_rows":$snapRows,"queries":$json}""")
+    val line = s"""{"fixture":"$fixtureDir","n_input":$nInput,"n_users":$nUsers,"state_bound_rows":$stateBound,"cdc_snapshot_rows":$snapRows,"queries":$json}"""
+    println(s"[soak] $line")
+    // stdout through sbt is log-level-dependent (`sbt -warn` swallows
+    // forked-run info lines entirely — learned the hard way when a clean
+    // 10-minute soak published nothing); the artifact goes to a file too
+    sys.env.get("GRAFT_SOAK_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line)
+      System.err.println(s"[soak] artifact written to $p")
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -564,4 +564,96 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .as[(Long, Long, Double, Long, Long)].collect().toSet
     assert(batch == want)
   }
+
+  test("X81 streaming near-dup screen: verdicts == brute force over the evolving index; replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    val idx = base.resolve("index").toString
+    val vd = base.resolve("verdicts").toString
+    val ckpt = base.resolve("ckpt").toString
+    val theta = 0.6
+
+    // independent brute-force model of the screen (TextFns semantics
+    // re-derived in plain Scala, incl. the round-to-9 before compare)
+    def shingle(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]+", "")
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def isDup(s: Set[String], corpus: Iterable[Set[String]]): Boolean =
+      s.nonEmpty && corpus.exists { c =>
+        val i = (s & c).size.toDouble
+        c.nonEmpty && math.rint(i / (s.size + c.size - i) * 1e9) / 1e9 >= theta
+      }
+
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(j => s"w${(seed * 37 + j * 11) % 197}").mkString(" ")
+    val corpus: Seq[(Long, String)] =
+      (0 until 10).map(i => (i.toLong, words(i, 12)))
+    def truncated(t: String) = t.split(" ").take(9).mkString(" ")
+
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(100L -> truncated(corpus(0)._2),  // dup of corpus doc 0
+        101L -> words(50, 12),              // novel -> joins the index
+        102L -> words(61, 12),              // novel
+        103L -> "one two"),                 // sub-3-token: trivially novel
+      Seq(200L -> corpus(1)._2,             // verbatim dup of corpus doc 1
+        201L -> words(50, 12),              // dup of ACCEPTED batch-0 doc 101
+        202L -> words(72, 12)),             // novel
+      Seq(300L -> truncated(words(61, 12)), // dup of accepted batch-0 doc 102
+        301L -> "three four",               // sub-3-token again: novel
+        302L -> words(83, 12)))             // novel
+
+    StreamingOps.seedNearDupIndex(corpus.toDF("doc_id", "text"), idx)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      val q = StreamingOps.nearDupScreenStream(
+        mem.toDF().toDF("doc_id", "text"), idx, vd, ckpt, theta)
+      q.awaitTermination(120000)
+    }
+    batches.foreach { b => mem.addData(b); runOnce() }
+
+    // brute-force replay: screen each batch against the model corpus,
+    // admitting novel non-empty shingle sets before the next batch
+    var model = corpus.map(d => shingle(d._2)).filter(_.nonEmpty)
+    val want = batches.map { b =>
+      val verdicts = b.map { case (id, t) => id -> isDup(shingle(t), model) }.toMap
+      model = model ++ b.collect {
+        case (id, t) if !verdicts(id) && shingle(t).nonEmpty => shingle(t)
+      }
+      verdicts
+    }
+    def gotBatch(i: Int): Map[Long, Boolean] =
+      spark.read.parquet(vd).filter(col("ingest_batch") === i)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until 3).foreach { i =>
+      assert(gotBatch(i) == want(i), s"batch $i verdicts diverge from brute force")
+    }
+    // the evolution property specifically: 201/300 match docs that were
+    // NOT in the seeded corpus, only in earlier accepted batches
+    assert(gotBatch(1)(201L) && gotBatch(2)(300L))
+    // every verdict covers every batch doc exactly once
+    assert(spark.read.parquet(vd).count() == batches.map(_.size).sum)
+
+    // REPLAY batch 1 directly (same batchId), with the index already
+    // containing batch 2's rows: the <batchId filter must pin the view,
+    // and both partition overwrites must reproduce identical content
+    def snap(dir: String, b: Int): Seq[String] =
+      spark.read.parquet(dir).filter(col("ingest_batch") === b)
+        .collect().map(_.toString).sorted.toSeq
+    val (v1, i1) = (snap(vd, 1), snap(idx, 1))
+    StreamingOps.screenNearDupBatch(
+      batches(1).toDF("doc_id", "text"), 1L, idx, vd, theta)
+    assert(snap(vd, 1) == v1, "verdict partition changed on replay")
+    assert(snap(idx, 1) == i1, "index partition changed on replay")
+    // and the stream's verdicts for batch 1 equal the pure batch form
+    // of the same screen (shared code path, independent invocation)
+    val batchForm = operators.NearDup.nearDupVerdicts(
+      spark.read.parquet(idx).filter(col("ingest_batch") < 1)
+        .select("doc_id", "s"),
+      operators.NearDup.shingles3(batches(1).toDF("doc_id", "text")), theta)
+      .collect().map(_.getLong(0)).toSet
+    assert(want(1).filter(_._2).keySet == batchForm)
+  }
 }

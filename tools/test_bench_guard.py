@@ -1,0 +1,233 @@
+#!/usr/bin/env python3
+"""Self-test for tools/bench_guard.py (VERDICT r11 task 8).
+
+The guard has grown real adjudication logic — contention quarantine
+(stamp + rename), same-sf walk-back across mixed rounds, min-vs-min
+keying, canon self-compare skip — none of which had tests: a wrong
+guard silently blesses a regression. Each case below builds a synthetic
+artifact directory and runs the guard as a subprocess (its globs are
+cwd-relative), asserting on the chosen reference, the flags, and the
+exit code.
+
+Run:  pytest tools/test_bench_guard.py     (or)
+      python3 tools/test_bench_guard.py    (standalone, no pytest needed)
+
+NOT part of the library — developer tooling only (driver-side python).
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+GUARD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_guard.py")
+
+
+def write(d, name, queries, sf="/root/testdata/sf0.1", contended=False,
+          detail=None, mtime=None, driver_shape=False):
+    """Write a synthetic artifact. `queries` is {name: median}; `detail`
+    optionally {name: (median, min)} for the query_detail shape."""
+    art = {"metric": "total", "value": sum(queries.values()),
+           "n_queries": len(queries), "sf": sf, "queries": queries}
+    if not driver_shape:
+        art["contended"] = contended
+    if detail is not None:
+        art["query_detail"] = {
+            k: {"median": med, "min": mn, "max": med, "runs": [med, mn, med]}
+            for k, (med, mn) in detail.items()}
+    p = os.path.join(d, name)
+    with open(p, "w") as f:
+        json.dump(art, f)
+    if mtime is not None:
+        os.utime(p, (mtime, mtime))
+    return p
+
+
+def run_guard(d, *args):
+    r = subprocess.run([sys.executable, GUARD, *args], cwd=d,
+                       capture_output=True, text=True)
+    return r.returncode, r.stdout
+
+
+def test_clean_pass_and_flag_exit_codes():
+    """Baseline behavior: same numbers pass (exit 0); a >1.5x regression
+    above the MIN_SEC floor flags and exits 1."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0, "q2": 0.5}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 1.0, "q2": 0.5}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 0, out
+        assert "vs BENCH_SELF_r08.json" in out, out
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 2.0}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 1 and "FLAG q1" in out, out
+
+
+def test_min_sec_jitter_floor():
+    """Sub-100ms queries can triple without flagging — both medians under
+    MIN_SEC is jitter, not a regression."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 0.04}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 0.12}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 0, out
+
+
+def test_contended_stamp_quarantined_as_reference():
+    """A contended-stamped artifact must never be the comparison
+    reference: the guard walks past r09 (stamped) to r08 (clean)."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 9.0}, contended=True, mtime=2000)
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.1}, mtime=3000)
+        code, out = run_guard(d)
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_contended_rename_quarantined_as_reference():
+    """The *_contended.json rename protocol quarantines the same way as
+    the stamp."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09_contended.json", {"q1": 9.0}, mtime=2000)
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.1}, mtime=3000)
+        code, out = run_guard(d)
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_same_sf_walkback_within_a_mixed_round():
+    """r10 ADVICE case: the previous round published BOTH an sf0.1 and a
+    newer sf1 artifact. A current sf0.1 run must compare against the
+    same-sf one, not skip the round (or worse, compare cross-sf)."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r09_sf01.json", {"q1": 1.0},
+              sf="/root/testdata/sf0.1", mtime=1000)
+        write(d, "BENCH_SELF_r09_sf1.json", {"q1": 4.0},
+              sf="/tmp/graft_sf1", mtime=2000)  # newer, wrong sf
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.1},
+              sf="/root/testdata/sf0.1", mtime=3000)
+        code, out = run_guard(d)
+        assert "vs BENCH_SELF_r09_sf01.json" in out, out
+        assert code == 0, out
+
+
+def test_same_sf_walkback_across_rounds():
+    """When the whole previous round is at a different sf, walk back a
+    further round to find a same-sf reference."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0},
+              sf="/root/testdata/sf0.1", mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 4.0},
+              sf="/tmp/graft_sf1", mtime=2000)
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.1},
+              sf="/root/testdata/sf0.1", mtime=3000)
+        code, out = run_guard(d)
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_no_comparable_reference_skips_cleanly():
+    """Nothing at the current sf anywhere: skip with exit 0 (nothing
+    comparable), never a cross-sf compare."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r09.json", {"q1": 4.0},
+              sf="/tmp/graft_sf1", mtime=2000)
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.1},
+              sf="/root/testdata/sf0.1", mtime=3000)
+        code, out = run_guard(d)
+        assert code == 0 and "nothing comparable" in out, out
+
+
+def test_min_vs_min_keying():
+    """Both sides carry query_detail: the guard keys on per-query MIN.
+    A median spike with a stable min (co-tenant load shape, r08's
+    doc_quality [4.13, 4.09, 1.12]) must NOT flag; a genuine min
+    regression must."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0, "q2": 1.0},
+              detail={"q1": (1.0, 1.0), "q2": (1.0, 1.0)}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 4.0, "q2": 1.0},
+              detail={"q1": (4.0, 1.05), "q2": (1.0, 1.0)}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 0, out  # median 4x but min stable: not a regression
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0},
+              detail={"q1": (1.0, 1.0)}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 2.0},
+              detail={"q1": (2.0, 1.9)}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 1 and "FLAG q1" in out, out
+
+
+def test_canon_self_compare_skipped():
+    """BENCH_CANON.json byte-identical to the current artifact (refresh-
+    then-guard) can never flag — the guard must fall through to the
+    prior round's artifact."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        cur = write(d, "BENCH_SELF_r09.json", {"q1": 3.0}, mtime=2000)
+        with open(cur) as f:
+            content = f.read()
+        with open(os.path.join(d, "BENCH_CANON.json"), "w") as f:
+            f.write(content)
+        code, out = run_guard(d)
+        assert "using prior round instead" in out, out
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 1 and "FLAG q1" in out, out
+
+
+def test_canon_cross_sf_skipped():
+    """A canon pinned at a different sf is not a comparable reference."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0},
+              sf="/root/testdata/sf0.1", mtime=1000)
+        write(d, "BENCH_CANON.json", {"q1": 0.2}, sf="/tmp/graft_sf1")
+        write(d, "BENCH_SELF_r09.json", {"q1": 1.1},
+              sf="/root/testdata/sf0.1", mtime=2000)
+        code, out = run_guard(d)
+        assert "cross-sf medians are not comparable" in out, out
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_driver_wrapper_numeric_sf_normalization():
+    """The driver wrapper stores sf as a NUMBER (0.1) where BENCH_SELF
+    stores the dir string — sf_of must normalize both so the wrapper
+    fallback stays same-sf comparable."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_r08.json", {"q1": 1.0}, sf=0.1,
+              driver_shape=True, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 1.1},
+              sf="/root/testdata/sf0.1", mtime=2000)
+        code, out = run_guard(d)
+        assert "vs BENCH_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_failed_query_flags():
+    """A query that went from working (positive time) to failing (-1)
+    must flag, not silently drop out of the compare."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": -1.0}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 1 and "FLAG q1" in out, out
+
+
+ALL_TESTS = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
+
+if __name__ == "__main__":
+    failed = 0
+    for t in ALL_TESTS:
+        try:
+            t()
+            print(f"PASS {t.__name__}")
+        except AssertionError as e:
+            failed += 1
+            print(f"FAIL {t.__name__}: {e}")
+    print(f"{len(ALL_TESTS) - failed} pass, {failed} fail")
+    sys.exit(1 if failed else 0)
