@@ -23,32 +23,48 @@ object Aggregates {
 
   private val qtyD = DecimalType(18, 2)
   private val priceD = DecimalType(18, 2)
-  private val revD = DecimalType(28, 4)
-  private val chargeD = DecimalType(28, 6)
 
   def all: Seq[Q] = Seq(
 
     // G10 flagship aggregate: TPC-H Q1-style pricing summary.
+    //
+    // Decimal-FIRST arithmetic (10x-compare lesson): casting the DOUBLE
+    // product price*(1-disc)*(1+tax) to DECIMAL(28,6) diverges between
+    // engines for rows whose product sits within half a double-ULP of a
+    // 1e-6 rounding boundary (Spark rounds the shortest decimal repr of
+    // the double, DuckDB rounds its exact binary value — ~3.6e-7 of rows
+    // at this magnitude, invisible at sf0.1, ~4 rows at 6M). Quantizing
+    // the INPUT columns at their semantic 2dp width and multiplying in
+    // decimal keeps every step exact in both engines: (18,2)x(5,2)x(5,2)
+    // products never exceed precision 38, so no rounding exists to
+    // disagree on. The scale-4/6 sums are then rounded to CENTS before
+    // the DOUBLE cast: DuckDB's decimal->double conversion drops the
+    // low bit once the unscaled value passes 2^53 (5.2e16 at 6M rows x
+    // scale 6; Spark's BigDecimal path is correctly rounded), while the
+    // 2dp unscaled total stays exact-representable to ~1e13 rows.
     Q("agg_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val pctD = DecimalType(4, 2)
+      val revDec = col("l_extendedprice").cast(priceD) *
+        (lit(1).cast(pctD) - col("l_discount").cast(pctD))
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast(qtyD)).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast(priceD)).cast("double").as("sum_base"),
-          sum(rev.cast(revD)).cast("double").as("sum_disc"),
-          sum((rev * (lit(1) + col("l_tax"))).cast(chargeD)).cast("double").as("sum_charge"),
+          round(sum(revDec), 2).cast("double").as("sum_disc"),
+          round(sum(revDec * (lit(1).cast(pctD) + col("l_tax").cast(pctD))), 2)
+            .cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast(qtyD)).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast(priceD)).cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("cnt"))

@@ -86,10 +86,26 @@ object NearDup {
   /** SimHash near-dup pairs: LSH on the four 16-bit chunks (two docs
     * within Hamming distance 3 of each other must agree on at least
     * one chunk… for distance ≤ 3 over 4 chunks — pigeonhole), verify
-    * with exact Hamming distance via bit_count(xor). */
+    * with exact Hamming distance via bit_count(xor).
+    *
+    * ADAPTIVE bucket cap (10x-compare lesson): unlike MinHash band
+    * signatures (64-bit hashes of 4-row bands — buckets only grow with
+    * genuine similarity), the chunk key space here is a FIXED 16 bits,
+    * so bucket sizes grow linearly with the corpus and a fixed cap
+    * silently discards an ever-larger recall fraction (planted-pair
+    * recall measured 10/50 at 10x under cap 64, vs 25-31/50 uncapped —
+    * the neardup_recall_bounds floor fired). The cap therefore scales
+    * as N/16 — "a bucket holding over 1/16th of the corpus matches
+    * everything and discriminates nothing" — clamped to [64, 4096]:
+    * base fixtures (N ≤ 1k docs) keep cap 64 exactly (every spec pin
+    * unchanged), and the 4096 ceiling bounds per-bucket pair work once
+    * the 16-bit key space itself saturates (N >> 65536 — the density
+    * at which chunk-LSH needs wider keys / more tables, per Manku et
+    * al. WWW'07, regardless of capping). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // Materialized once for the same three-branch reason as minhashPairs.
     val sigs = simhashSignatures(docs).localCheckpoint()
+    val capEff = math.max(maxBucket.toLong, math.min(4096L, sigs.count() / 16))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),
@@ -97,7 +113,7 @@ object NearDup {
       .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.csig").as("csig"))
     val small = chunks.groupBy("chunk", "csig")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") <= capEff)
     val inSmall = chunks.join(small, Seq("chunk", "csig"))
     val a = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id1"), col("sig").as("s1"))
     val b = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id2"), col("sig").as("s2"))

@@ -69,6 +69,16 @@ object TextAnalysis {
     // division), rounded to 9 dp and accumulated as DECIMAL(28,9) so
     // the per-doc sum is addition-order independent; ONE final
     // division + round.
+    //
+    // The oracle's final round goes VARCHAR→DECIMAL→round (10x-compare
+    // lesson): Spark's round(double, 6) rounds the double's SHORTEST
+    // DECIMAL REPR half-up (BigDecimal.valueOf), while DuckDB's
+    // round(double, 6) multiplies by 1e6 first — whose one-ULP slop
+    // flips doubles sitting within ~5e-16 of a 1e-6 boundary (one doc's
+    // avg at 10x, replicated once per fixture copy). Stringifying in
+    // DuckDB (shortest round-trip repr), parsing as DECIMAL, and
+    // rounding EXACTLY reproduces Spark's algorithm, so the two engines
+    // agree at boundaries instead of probabilistically.
     Q("doc_unigram_logprob",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
@@ -77,8 +87,9 @@ object TextAnalysis {
         |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
         |n AS (SELECT count(*) AS nn FROM tok)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / nn), 9) AS DECIMAL(28,9))) AS DOUBLE)
-        |    / count(*), 6) AS avg_logprob
+        |  CAST(round(CAST(CAST(
+        |      CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / nn), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+        |    AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_logprob
         |FROM tok JOIN cnt USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val tok = Tables.documents(s, d)

@@ -240,7 +240,7 @@ object TrainingPrep {
         |  round((CAST(l.l_extendedprice AS DOUBLE) - g.s1 / g.n)
         |    / sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1)), 9) AS x_z
         |FROM lineitem l JOIN g USING (l_returnflag)
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag, x_minmax, x_z""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val x = col("l_extendedprice").cast("double")
       val g = Tables.lineitem(s, d).groupBy("l_returnflag")
@@ -254,7 +254,12 @@ object TrainingPrep {
           round((x - col("mn")) / (col("mx") - col("mn")), 9).as("x_minmax"),
           round((x - col("s1") / col("n"))
             / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 9).as("x_z"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT a key in the synthetic
+        // lineitem (unlike TPC-H's PK) — the value columns complete a
+        // TOTAL order, so engines can't disagree on tie placement.
+        // Surfaced by the 10x compare: sf0.1 passed only because both
+        // engines happened to break the ties identically.
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "x_minmax", "x_z")
     },
 
     // X78: group-mean null imputation — fill a feature's missing values
@@ -280,7 +285,7 @@ object TrainingPrep {
         |  round(coalesce(CAST(q AS DOUBLE), mean_q), 6) AS q_imputed,
         |  (q IS NULL) AS was_imputed
         |FROM w JOIN m ON w.l_returnflag = m.l_returnflag
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, w.l_returnflag, q_imputed""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val withNulls = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -293,7 +298,8 @@ object TrainingPrep {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(coalesce(col("q").cast("double"), col("mean_q")), 6).as("q_imputed"),
           col("q").isNull.as("was_imputed"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order for the same non-PK reason as feature_scale
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "q_imputed")
     }
   )
 }

@@ -7,8 +7,10 @@ Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 oracle SQL in DuckDB against the parquet tables in <sfDir>, and compares
 against the Spark-written parquet in <verifyOutDir>/<name>/.
 
-Scaled-fixture knobs (both default OFF so the sf0.01 driver-gate mirror
+Scaled-fixture knobs (all default OFF so the sf0.01 driver-gate mirror
 is byte-identical in behavior):
+  GRAFT_ORACLE_JSON=<path>     also write a machine-readable summary
+                               ({"n_pass":..,"queries":{name:status,..}})
   GRAFT_ORACLE_TIMEOUT_S=<n>   interrupt any single oracle SQL after n
                                seconds and count it SKIP (the 10x compare
                                runs DuckDB against 6M-row tables, where a
@@ -31,7 +33,12 @@ def main(sf_dir, out_dir):
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # scaled fixtures are Spark-written DIRECTORIES of part files
+            # (the driver's sf* tables are single files) — glob inside
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
@@ -59,44 +66,51 @@ def main(sf_dir, out_dir):
             t.cancel()
 
     n_pass = n_fail = n_skip = 0
+    statuses = {}
     # union of declared oracles and written dirs: a query whose Spark side
     # threw in graft.Verify (dir never written) must count as FAIL, not
     # silently vanish from both tallies.
     for name in sorted(set(spark_dirs) | set(oracle)):
         if name in exclude:
             print(f"SKIP {name}: excluded (GRAFT_ORACLE_EXCLUDE)")
+            statuses[name] = "skip_excluded"
             n_skip += 1; continue
         if name not in spark_dirs:
             print(f"FAIL {name}: no spark output dir (query threw in Verify?)")
+            statuses[name] = "fail_no_output"
             n_fail += 1; continue
         d = spark_dirs[name]
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output parquet"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output parquet")
+            statuses[name] = "fail_no_output"; n_fail += 1; continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
         if name not in oracle:
             status = "ok" if len(got) > 0 else "EMPTY"
             print(f"rows-only {name}: {len(got)} rows {status}")
+            statuses[name] = "rows_only" if len(got) else "fail_empty"
             if len(got) == 0: n_fail += 1
             else: n_pass += 1
             continue
         try:
             want, why = run_oracle(oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            statuses[name] = "fail_oracle_error"; n_fail += 1; continue
         if why == "timeout":
             print(f"SKIP {name}: oracle exceeded {timeout_s:.0f}s (DuckDB "
                   "interrupted — intractable at this fixture scale)")
+            statuses[name] = "skip_oracle_timeout"
             n_skip += 1; continue
         got = got.reindex(sorted(got.columns), axis=1)
         want = want.reindex(sorted(want.columns), axis=1)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            n_fail += 1; continue
+            statuses[name] = "fail_schema"; n_fail += 1; continue
         if got.shape != want.shape:
             print(f"FAIL {name}: shape {got.shape} != {want.shape}")
-            n_fail += 1; continue
+            statuses[name] = "fail_rows"; n_fail += 1; continue
         # exact value compare (stringified, like a hash would see)
         ga = got.astype(str).values
         wa = want.astype(str).values
@@ -106,13 +120,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {diff.sum()} cell diffs, first: ")
             for r, c in idx:
                 print(f"  row {r} col {got.columns[c]}: spark={ga[r][c]!r} duck={wa[r][c]!r}")
-            n_fail += 1
+            statuses[name] = "fail_values"; n_fail += 1
         else:
             print(f"PASS {name}: {len(got)} rows")
-            n_pass += 1
+            statuses[name] = "pass"; n_pass += 1
 
     skipped = f", {n_skip} skipped" if n_skip else ""
     print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
+    jpath = os.environ.get("GRAFT_ORACLE_JSON")
+    if jpath:
+        with open(jpath, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
+                       "oracle_timeout_s": timeout_s,
+                       "excluded": sorted(exclude),
+                       "queries": statuses}, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 1 if n_fail else 0
 
 

@@ -23,10 +23,17 @@ echo "=== [4/5] 10x oracle compare (VERDICT r11 task 3) ==="
 sbt -warn "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
   | grep -E "\[verify\]" || true
 GRAFT_ORACLE_TIMEOUT_S=300 \
+GRAFT_ORACLE_JSON=CORRECTNESS_10x_r12.json \
 GRAFT_ORACLE_EXCLUDE=dedup_incremental_simjoin,simjoin_prefix,cc_components,cc_clusters,cc_keep_best,dedup_apply_keep_best \
   python3 tools/check.py /tmp/graft_sf1 /tmp/vout_10x | tee /tmp/check_10x_r12.txt | tail -3
 
 echo "=== [5/5] 100x full-registry stress, reps=1 (VERDICT r11 task 2) ==="
+# Disk hygiene first: the r12a chain run hit ENOSPC mid-100x
+# (best_match_fuzzy / embedding_near_dup_lsh shuffle spill vs ~10G of
+# stale verify output + dead blockmgr dirs). Verify output is
+# recreatable; stale Spark scratch dirs belong to dead JVMs.
+rm -rf /tmp/vout_10x /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
+df -h /tmp | tail -1
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_BENCH_REPS=1 SPARK_DRIVER_MEM=16g \
   GRAFT_BENCH_OUT=SCALE100_r12.json \
   sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric || true
