@@ -402,6 +402,66 @@ object Dedup {
         |FROM isl GROUP BY doc_id, gid
         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
       dupSpans(Tables.documents(s, d), 8).orderBy("doc_id", "span_start")
+    },
+
+    // X82: duplicated-span SCRUB — the apply step X80 only detects.
+    // Lee et al. 2022 (arXiv:2107.06499 §3.2, ExactSubstr) remove all
+    // but ONE occurrence of every duplicated substring; this is that
+    // rule at X80's 8-token window granularity with a deterministic
+    // keep-FIRST keeper: the minimal (doc_id, pos) occurrence of each
+    // duplicated gram survives, every other occurrence marks its
+    // window, and marked windows merge (same gaps-and-islands as X80)
+    // into the cut list applied to the normalized token stream. Unlike
+    // X80's cross-doc signal (distinct docs >= 2), duplication here is
+    // occurrence count >= 2 — within-doc repetition is scrubbed too,
+    // exactly as the cited method does. Shapes: one gram explode
+    // (flagship cost) → gram-keyed count+min (ONE shuffle computes
+    // both; occurrences packed as doc_id*2^24+pos so min() is the
+    // lexicographic keeper — docs are < 16M tokens by contract) →
+    // join-back marks → per-doc islands merge → the merged span list
+    // collects per doc (tiny: interval metadata, not text) and joins
+    // back to the UN-exploded token arrays, where a higher-order
+    // filter drops covered indexes. The corpus text itself crosses at
+    // most one doc_id-keyed exchange (none when AQE broadcasts the
+    // span side — spans exist only for docs with duplication); no
+    // token-level join, no pair join, linear at any corpus size.
+    Q("dup_spans_scrub",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', '', 'g')), '\s+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    array_to_string(t[u.i:u.i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |st AS (
+        |  SELECT gram, count(*) AS cnt,
+        |    min(doc_id * 16777216 + pos) AS occ_key
+        |  FROM g GROUP BY gram),
+        |mk AS (
+        |  SELECT doc_id, pos FROM g JOIN st USING (gram)
+        |  WHERE cnt >= 2 AND doc_id * 16777216 + pos <> occ_key),
+        |cut AS (
+        |  SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+        |  FROM mk, unnest(range(pos, pos + 8)) AS u(p)),
+        |tok AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |agg AS (
+        |  SELECT tok.doc_id,
+        |    count(*) AS n_tokens,
+        |    sum(CASE WHEN cut.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_cut,
+        |    coalesce(string_agg(CASE WHEN cut.pos IS NULL THEN tok.tok END,
+        |                        ' ' ORDER BY tok.pos), '') AS text_scrubbed
+        |  FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.pos = cut.pos
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_cut AS BIGINT) AS n_cut, text_scrubbed
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, 0, 0, '' FROM toks WHERE len(t) = 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dupSpansScrub(Tables.documents(s, d), 8).orderBy("doc_id")
     }
   )
 
@@ -409,7 +469,6 @@ object Dedup {
     * granularity (see the `dup_spans` registration above for the full
     * semantics and scale rationale). */
   def dupSpans(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = docs
       .select(col("doc_id"), posexplode(TextFns.ngrams(col("text"), w)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
@@ -417,8 +476,16 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
     val hit = g.join(dup, "gram").select("doc_id", "pos").distinct()
+    mergeSpans(hit, w)
+  }
+
+  /** Shared X80/X82 islands merge: marked gram positions (each covering
+    * window [pos, pos+w-1]) → maximal per-doc spans. Partitioned by
+    * doc_id — the scaling key; never a global window. */
+  private def mergeSpans(hits: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val isl = hit
+    val isl = hits
       .withColumn("b", when(col("pos") - lag(col("pos"), 1).over(byPos) > w
         || lag(col("pos"), 1).over(byPos).isNull, 1).otherwise(0))
       .withColumn("gid", sum(col("b")).over(
@@ -428,5 +495,37 @@ object Dedup {
         (max(col("pos")) + lit(w - 1)).as("span_end"),
         (max(col("pos")) + lit(w) - min(col("pos"))).as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** X82 core: keep-first duplicated-span scrub (see the
+    * `dup_spans_scrub` registration above for semantics and the scale
+    * rationale). Returns one row per input doc:
+    * (doc_id, n_tokens, n_cut, text_scrubbed) over normalized tokens. */
+  def dupSpansScrub(docs: DataFrame, w: Int): DataFrame = {
+    val pack = 1L << 24 // keeper key = doc_id * 2^24 + pos; docs < 16M tokens
+    val packed = col("doc_id") * pack + col("pos")
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val g = toks
+      .select(col("doc_id"), posexplode(TextFns.ngramsOfTokens(col("t"), w)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val st = g.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"), min(packed).as("occ_key"))
+    val mk = g.join(st, "gram")
+      .filter(col("cnt") >= 2 && packed =!= col("occ_key"))
+      .select("doc_id", "pos")
+    val cuts = mergeSpans(mk, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("cuts"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"), coalesce(col("cuts"),
+        array().cast("array<struct<span_start:long,span_end:long>>")).as("cuts"))
+      .select(col("doc_id"), col("t"),
+        filter(col("t"), (_, i) => !exists(col("cuts"), sp =>
+          i.cast("long") >= sp("span_start") && i.cast("long") <= sp("span_end")))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_cut"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
   }
 }

@@ -322,6 +322,142 @@ object Similarity {
     topKPerQuery(scored, k).orderBy("q_id", "rank")
   }
 
+  // ---- X83: product quantization (Jégou et al., TPAMI 2011) ----------
+  //
+  // The codebook-compression rung below SQ8 on the ANN ladder: the D=64
+  // vector splits into `m` subspaces of D/m dims, each subvector
+  // quantized to the nearest of `kCodes` per-subspace centroids — a
+  // 256-byte float32 vector becomes m code bytes (vs SQ8's 64) plus ONE
+  // shared codebook of m*kCodes subvectors, broadcast-sized at any
+  // corpus scale. Search never reconstructs: ADC (asymmetric distance
+  // computation) joins the corpus code stream against a tiny per-query
+  // (sub, code) -> partial-distance table.
+  //
+  // Encoding distances run on the 1/512 grid: floor(x*512) of a
+  // float32-origin double is EXACT integer math in every engine, so the
+  // nearest-centroid argmin cannot flip at a double-ulp boundary (the
+  // 10x-compare lesson applied proactively — a round(x, 9)
+  // pre-quantization would disagree cross-engine at ~1e-7 per value).
+  // The oracled `pq_quantize` uses the deterministic SEED codebook (the
+  // kCodes smallest vec_ids' subvectors, kmeansCentroids' own init);
+  // Lloyd refinement is double-avg math covered by spec + the recall
+  // floor in ann_recall_bounds — exactly the IVF precedent.
+
+  /** Subvector long form: one (vec_id, sub, sv) row per subspace. */
+  private[graft] def subvecs(v: DataFrame, m: Int, subDim: Int): DataFrame =
+    v.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("v"), i * lit(subDim) + 1, lit(subDim)))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+
+  /** 1/512-grid integerization — exact on float32 inputs. */
+  private def q512(a: Column): Column =
+    transform(a, x => floor(x * lit(512d)).cast("long"))
+
+  /** Exact squared L2 between two integer-grid arrays (long math). */
+  private def d2Grid(a: Column, b: Column): Column =
+    aggregate(zip_with(q512(a), q512(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Seed codebook: per subspace, the subvectors of the `kCodes`
+    * smallest vec_ids; code = 0-based rank by vec_id (deterministic —
+    * a bare limit(k) would depend on physical partition order). */
+  private[graft] def pqSeeds(v: DataFrame, m: Int, subDim: Int, kCodes: Int): DataFrame =
+    subvecs(v.orderBy(col("vec_id")).limit(kCodes), m, subDim)
+      .select(col("sub"),
+        (row_number().over(Window.partitionBy(col("sub"))
+          .orderBy(col("vec_id"))) - 1).as("code"),
+        col("sv").as("cv"))
+
+  /** Long-form PQ codes (vec_id, sub, code): nearest codebook entry per
+    * subspace, integer-grid distances, code-id tiebreak. The codebook
+    * side is m*kCodes rows — always broadcast. */
+  private[graft] def pqEncode(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(d2Grid(col("sv"), col("cv")).as("d2"), col("code")).as("dc"))
+      .groupBy("vec_id", "sub").agg(min(col("dc")).as("dc"))
+      .select(col("vec_id"), col("sub"), col("dc.code").as("code"))
+
+  /** Per-subspace Lloyd refinement of a PQ codebook — kmeansCentroids'
+    * loop with (sub, code) as the group key; assignment reuses
+    * [[pqEncode]]'s integer-grid argmin, updates are per-dimension
+    * means, each round localCheckpoint'd (lineage truncation + the
+    * broadcast input computed once). Codes that lose all members drop
+    * out — harmless for ADC. */
+  private[graft] def pqCodebooks(subs: DataFrame, seeds: DataFrame,
+                                 iters: Int): DataFrame = {
+    var books = seeds.localCheckpoint()
+    for (_ <- 1 to iters) {
+      books = pqEncode(subs, books)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("col")).as("x"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("sub"), col("code"),
+          transform(col("px"), p => p.getField("x")).as("cv"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** X83 search: ADC top-k over the PQ-coded corpus. Vectors are
+    * L2-normalized first so squared distance ranks like cosine
+    * (d2 = 2 - 2cos on unit vectors; reported cos = 1 - d2/2). The
+    * distance table (|Q| × m × kCodes rows) broadcasts; scoring is an
+    * equi-join of the code stream on (sub, code) + one (q_id, vec_id)
+    * partial-sum shuffle — the scan reads m bytes per vector instead
+    * of 256, and no float vector ever crosses an exchange. */
+  def pqTopK(emb: DataFrame, nQ: Int, k: Int, m: Int = 8, kCodes: Int = 16,
+             iters: Int = 2, rerank: Int = 64,
+             idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
+    val subDim = 64 / m
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", norm2(col("v")))
+      .select(col("vec_id"),
+        when(col("n2") > 0d,
+          transform(col("v"), x => x / sqrt(col("n2")))).otherwise(col("v")).as("v"))
+    val corpusSubs = subvecs(v.filter(col("vec_id") >= nQ), m, subDim)
+    val cfg = s"pqn_m${m}_k${kCodes}_i${iters}_q$nQ"
+    def seeds = pqSeeds(v.filter(col("vec_id") >= nQ), m, subDim, kCodes)
+    val books = idx match {
+      case Some((s, d)) => graft.Indexes.table(s, d, s"pq_books_$cfg", Nil) {
+        pqCodebooks(corpusSubs, seeds, iters)
+      }
+      case None => pqCodebooks(corpusSubs, seeds, iters)
+    }
+    val codes = idx match {
+      case Some((s, d)) => graft.Indexes.table(s, d, s"pq_codes_$cfg", Nil) {
+        pqEncode(corpusSubs, books)
+      }
+      case None => pqEncode(corpusSubs, books)
+    }
+    val dtab = subvecs(v.filter(col("vec_id") < nQ), m, subDim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+      .join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        (norm2(col("sv")) + norm2(col("cv"))
+          - lit(2d) * dot(col("sv"), col("cv"))).as("pd2"))
+    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("d2"))
+      .select(col("q_id"), col("vec_id"),
+        round(lit(1d) - col("d2") / 2, 6).as("cos"))
+    // Exact re-rank of the ADC shortlist (the standard IVFADC tail,
+    // Jégou et al. §V): only `rerank` full vectors per query are ever
+    // read back — candidate generation stays code-stream-only.
+    val shortlist = topKPerQuery(adc, rerank).select("q_id", "vec_id")
+    val q = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = shortlist
+      .join(v, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos"))
+    topKPerQuery(exact, k).orderBy("q_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Per-label centroids in long form (label, dim position, mean):
@@ -423,6 +559,60 @@ object Similarity {
       sq8TopK(Tables.embeddings(s, d), nQ = 8, k = 10)
     },
 
+    // X83: PQ encoding against the deterministic seed codebook — the
+    // full (vec_id, c0..c3) code table hash-compared cell-exact, same
+    // contract as sq8_quantize. See the PQ section scaladoc for why
+    // distances run on the 1/512 integer grid (cross-engine-exact
+    // argmin) and why the oracle pins the SEED codebook while Lloyd
+    // training is bound-oracled.
+    Q("pq_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, CAST(u.m AS INT) AS sub,
+        |    list_transform(v[u.m*16+1 : u.m*16+16],
+        |      x -> CAST(floor(x * 512) AS BIGINT)) AS q
+        |  FROM v, unnest(range(0, 4)) AS u(m)),
+        |seeds AS (
+        |  SELECT sub,
+        |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
+        |    q AS cq
+        |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+        |el AS (
+        |  SELECT s.vec_id, s.sub, c.code,
+        |    SUM((s.q[u.i] - c.cq[u.i]) * (s.q[u.i] - c.cq[u.i])) AS d2
+        |  FROM sv s JOIN seeds c USING (sub), unnest(range(1, 17)) AS u(i)
+        |  GROUP BY s.vec_id, s.sub, c.code),
+        |best AS (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS r
+        |  FROM el)
+        |SELECT vec_id,
+        |  max(CASE WHEN sub = 0 THEN code END) AS c0,
+        |  max(CASE WHEN sub = 1 THEN code END) AS c1,
+        |  max(CASE WHEN sub = 2 THEN code END) AS c2,
+        |  max(CASE WHEN sub = 3 THEN code END) AS c3
+        |FROM best WHERE r = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      pqEncode(subvecs(v, 4, 16), pqSeeds(v, 4, 16, 16))
+        .groupBy("vec_id")
+        .agg(max(when(col("sub") === 0, col("code"))).as("c0"),
+          max(when(col("sub") === 1, col("code"))).as("c1"),
+          max(when(col("sub") === 2, col("code"))).as("c2"),
+          max(when(col("sub") === 3, col("code"))).as("c3"))
+        .orderBy("vec_id")
+    },
+
+    // X83 search path: ADC top-k over the Lloyd-trained PQ codes
+    // (approx — no SQL oracle; duplicate-ranks-first + recall vs the
+    // exact path asserted in SimilaritySpec, floor driver-gated in
+    // ann_recall_bounds below).
+    Q.noOracle("ann_pq_topk") { (s, d) =>
+      pqTopK(Tables.embeddings(s, d), nQ = 8, k = 10, idx = Some((s, d)))
+    },
+
     // X14/X18/X31 (oracled, r11): the ANN recall FLOORS as one
     // driver-checked query, mirroring minhash_calibration_bound —
     // every approximate index whose mean top-10 recall against the
@@ -439,7 +629,10 @@ object Similarity {
     // (SimilaritySpec negative control: a broken index measures
     // 0.03–0.11, far under any floor): LSH 0.45 (measured 0.66–0.70 at
     // sf0.001), IVF 0.40 (IvfSweep: 0.65 at the 12/4 default), SQ8
-    // 0.85 (measured ≥0.95 — 8-bit codes barely perturb ranking).
+    // 0.85 (measured ≥0.95 — 8-bit codes barely perturb ranking), PQ
+    // 0.30 (measured 0.775 at the m=8/k=16/rerank=64 default; the
+    // wider margin covers recall decay as corpus density grows with
+    // sf — the shortlist size is fixed while distractors are not).
     Q("ann_recall_bounds",
       """SELECT CAST(NULL AS VARCHAR) AS method,
         |  CAST(NULL AS DOUBLE) AS mean_recall, CAST(NULL AS DOUBLE) AS floor
@@ -458,6 +651,7 @@ object Similarity {
       meanRecall("lsh", annTopK(emb, 8, 10, idx = Some((s, d))), 0.45)
         .unionAll(meanRecall("ivf", ivfTopK(emb, 8, 10, idx = Some((s, d))), 0.40))
         .unionAll(meanRecall("sq8", sq8TopK(emb, 8, 10), 0.85))
+        .unionAll(meanRecall("pq", pqTopK(emb, 8, 10, idx = Some((s, d))), 0.30))
         .filter(col("mean_recall") < col("floor"))
         .orderBy("method")
     }

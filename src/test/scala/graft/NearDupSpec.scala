@@ -180,6 +180,31 @@ class NearDupSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(5), prop).passed)
   }
 
+  test("X82 dup_spans_scrub: keep-first keeper stays intact, later occurrences cut, within-doc repeats cut") {
+    // doc 0 (minimal id) holds the 10-token run first -> keeper, fully
+    // intact. doc 1 repeats it -> its copy [2,11] is cut. doc 2 is all
+    // unique -> untouched. doc 3 repeats ITS OWN 8-gram run twice ->
+    // the second occurrence is cut (within-doc dedup, cnt>=2 not
+    // distinct-docs>=2). Normalization: text_scrubbed is over S1
+    // tokens (lowercased).
+    assert(SparkEntry.queries("dup_spans_scrub")(spark, SparkTestSession.sf0001)
+      .columns.toSeq == Seq("doc_id", "n_tokens", "n_cut", "text_scrubbed"))
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val own = (1 to 8).map(i => s"o$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"u1 u2 u3 $run u4 u5"),
+      (1L, s"v1 v2 $run v3"),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, s"$own x1 $own x2")).toDF("doc_id", "text")
+    val got = Dedup.dupSpansScrub(docs, 8).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 15L, 0L, s"u1 u2 u3 $run u4 u5"),
+      (1L, 13L, 10L, "v1 v2 v3"),
+      (2L, 20L, 0L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, 18L, 8L, s"$own x1 x2")))
+  }
+
   test("X79 semdedup: keep/drop partitions the corpus, cluster-min ids are kept, co-clustered planted copies drop") {
     import org.apache.spark.sql.expressions.Window
     val emb = sources.Tables.embeddings(spark, SparkTestSession.sf0001)

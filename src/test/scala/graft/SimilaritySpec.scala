@@ -105,6 +105,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean SQ8 recall $mean — int8 should barely perturb ranks")
   }
 
+  test("X83 PQ encode: planted exact duplicates carry identical codes") {
+    import org.apache.spark.sql.functions._
+    // exact duplicates must land in the same cell of every subspace —
+    // the defining property of a deterministic quantizer (and the
+    // reason PQ codes can drive near-dup blocking)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val dups = emb.filter(col("vec_id") < 32)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"), col("label"))
+    val q = SparkEntry.queries("pq_quantize")
+    assert(q(spark, SparkTestSession.sf0001).columns.toSeq ==
+      Seq("vec_id", "c0", "c1", "c2", "c3"))
+    val v = emb.unionByName(dups)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codes = Similarity.pqEncode(
+        Similarity.subvecs(v, 4, 16),
+        Similarity.pqSeeds(v, 4, 16, 16))
+      .groupBy("vec_id").agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"))
+    val byId = codes.as[(Long, Seq[(Int, Int)])].collect().toMap
+    (0L until 32L).foreach { i =>
+      assert(byId(i) == byId(i + maxId + 1),
+        s"duplicate of vec $i encoded differently: ${byId(i)} vs ${byId(i + maxId + 1)}")
+    }
+  }
+
+  test("X83 PQ ADC top-k: mean recall >= 0.3 at m=8/k=16, and a collapsed codebook does worse") {
+    val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
+    val pq = topkSets(Similarity.pqTopK(emb, nQ = 8, k = 10))
+    val recalls = exact.map { case (q, ids) =>
+      pq.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean PQ recall $mean — ADC ranking has collapsed")
+    // negative control: 2 codes per subspace (16 cells total) cannot
+    // separate neighbors — proves the bound reflects codebook capacity
+    val tiny = topkSets(Similarity.pqTopK(emb, nQ = 8, k = 10, kCodes = 2))
+    val tinyMean = exact.map { case (q, ids) =>
+      tiny.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+      .sum / recalls.size
+    assert(tinyMean < mean,
+      s"kCodes=2 recall $tinyMean !< kCodes=16 recall $mean — codebook capacity is inert")
+  }
+
   test("IVF top-k: mean recall >= 0.5 at the default operating point, and probing fraction is partial") {
     val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
     val ivf = topkSets(Similarity.ivfTopK(emb, nQ = 8, k = 10))
