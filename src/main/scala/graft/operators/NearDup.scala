@@ -152,9 +152,10 @@ object NearDup {
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
                           idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
     // distinct corpusTag: this postings table is over the PLANTED-dup
-    // corpus, not the raw embeddings ann_lsh_topk indexes
-    val pairs = Similarity.lshCandidatePairs(emb, idx = idx, corpusTag = "planted")
-    pairs.filter(col("cos") >= threshold)
+    // corpus, not the raw embeddings ann_lsh_topk indexes; the verify
+    // threshold pushes below the pair distinct (bucket-local scoring)
+    Similarity.lshCandidatePairs(emb, idx = idx, corpusTag = "planted",
+      minCos = Some(threshold))
   }
 
   /** X79 SemDeDup-style semantic dedup (public method: Abbas et al.
@@ -725,16 +726,21 @@ object NearDup {
       val sets = docs
         .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
         .filter(size(col("s")) > 0)
-      val cand = memb.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").as("bdoc"), col("bucket"))
-        .join(memb.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("cdoc"), col("bucket")), "bucket")
-        .select("bdoc", "cdoc").distinct()
+      // Bucket-LOCAL scoring (the lshCandidatePairs lesson, found by the
+      // 100x stress): the trigram sets ride INTO the bucket join, so a
+      // candidate pair's multi-KB set arrays never cross a pair-keyed
+      // exchange — the earlier distinct-then-attach form shuffled both
+      // sets per candidate pair (quadratic per near-dup cluster at the
+      // stress fixture: the round's other ENOSPC). A pair colliding in
+      // several bands is scored once per collision (≤4, identical jac)
+      // — harmless to the argmax, so no distinct is needed at all.
+      val membSets = memb.join(sets, "doc_id").localCheckpoint()
       val inter = size(array_intersect(col("sb"), col("sc"))).cast("double")
       val union = (size(col("sb")) + size(col("sc"))).cast("double") - inter
-      cand
-        .join(sets.select(col("doc_id").as("bdoc"), col("s").as("sb")), "bdoc")
-        .join(sets.select(col("doc_id").as("cdoc"), col("s").as("sc")), "cdoc")
+      membSets.filter(col("doc_id") % 2 === 1)
+        .select(col("bucket"), col("doc_id").as("bdoc"), col("s").as("sb"))
+        .join(membSets.filter(col("doc_id") % 2 === 0)
+          .select(col("bucket"), col("doc_id").as("cdoc"), col("s").as("sc")), "bucket")
         .select(col("bdoc"), col("cdoc"), (inter / union).as("jac"))
         // argmax: max of (jac, -cdoc) struct = best jaccard, then
         // LOWEST corpus id — an aggregation, not a window

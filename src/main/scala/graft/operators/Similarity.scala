@@ -121,11 +121,23 @@ object Similarity {
 
   /** All-corpus candidate pairs from the multi-table LSH postings, with
     * exact cosine attached (the verify step). The pair join is bucket-
-    * local — never all-pairs — and the distinct collapses multi-table
-    * collisions before the (expensive) vector re-attach. */
+    * local — never all-pairs — and scoring is bucket-local too: the
+    * vectors ride INTO the (table, bucket) self-join, the cosine is
+    * computed where the pair is born, and only (id1, id2, cos) triples
+    * ever cross a later exchange. The earlier distinct-then-re-attach
+    * form shuffled two 0.5 KB vectors per CANDIDATE PAIR (two joins on
+    * id1/id2) — at the 100x stress fixture, whose planted replicas make
+    * pair volume quadratic per near-dup cluster, that was a ~35 GB
+    * transient spill and the round's only ENOSPC; scoring before the
+    * distinct re-computes each pair's dot once per colliding table
+    * (≤ nTables, a bounded CPU trade) and cuts the shuffled bytes per
+    * pair ~40x. `minCos` pushes the caller's verify threshold below the
+    * distinct, so at near-dup operating points the distinct sees only
+    * true positives. */
   def lshCandidatePairs(emb: DataFrame, nPlanes: Int = 8, nTables: Int = 8,
                         idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
-                        corpusTag: String = "emb"): DataFrame = {
+                        corpusTag: String = "emb",
+                        minCos: Option[Double] = None): DataFrame = {
     // Near-dup defaults differ from annTopK's (6×24): pair mining only
     // has to catch HIGH-cosine pairs (≈0.93 planted dups → per-plane
     // sign agreement ≈0.88, per-table 0.88⁸≈0.36, miss over 8 tables
@@ -134,16 +146,18 @@ object Similarity {
     // whose 0.5-recall target on mid-cosine neighbors needs the wider
     // 6-bit buckets and heavier OR amplification.
     val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, idx = idx, corpusTag = corpusTag)
-    val a = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id1"))
-    val b = postings.select(col("lsh_t"), col("lsh_sig"), col("vec_id").as("id2"))
-    val cand = a.join(b, Seq("lsh_t", "lsh_sig"))
+    // materialized once: both self-join branches scan the same blocks
+    // instead of re-running the postings⋈vector join per branch
+    val pv = postings.join(v, "vec_id").localCheckpoint()
+    val a = pv.select(col("lsh_t"), col("lsh_sig"),
+      col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
+    val b = pv.select(col("lsh_t"), col("lsh_sig"),
+      col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
+    val scored = a.join(b, Seq("lsh_t", "lsh_sig"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cand
-      .join(v.select(col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21")), "id1")
-      .join(v.select(col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22")), "id2")
       .select(col("id1"), col("id2"),
         round(dot(col("v1"), col("v2")) / (sqrt(col("n21")) * sqrt(col("n22"))), 6).as("cos"))
+    minCos.fold(scored)(t => scored.filter(col("cos") >= t)).distinct()
   }
 
   /** X3 scale path: multi-table LSH approximate top-k (OR
