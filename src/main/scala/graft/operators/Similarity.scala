@@ -160,6 +160,41 @@ object Similarity {
     minCos.fold(scored)(t => scored.filter(col("cos") >= t)).distinct()
   }
 
+  /** X84: all-corpus k-NN GRAPH — every vector's approximate top-k
+    * cosine neighbors, the primitive under graph-based dedup
+    * (SemDeDup variants), connected-component clustering over learned
+    * space, and label propagation. Candidates come from the same
+    * multi-table LSH postings as [[lshCandidatePairs]] and are scored
+    * BUCKET-LOCALLY (the r12 100x lesson: vectors ride into the
+    * (table, bucket) self-join; only (src, dst, cos) triples cross
+    * later exchanges). Unlike the pair miner this keeps BOTH
+    * directions (kNN is a directed relation), dedups multi-table
+    * collisions, and extracts per-node top-k with the two-phase
+    * salted pattern — never a per-node global sort. Config default
+    * (6 planes × 24 tables) is annTopK's mid-cosine operating point:
+    * a kNN edge is exactly a top-k query whose query set is the whole
+    * corpus. Quality is driver-gated by `knn_graph_bound`: mean
+    * recall@5 over 8 probe nodes vs the exact scan, expected-empty. */
+  def knnGraph(emb: DataFrame, k: Int,
+               nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L,
+               idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
+    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, seed, idx)
+    val pv = postings.join(v, "vec_id").localCheckpoint()
+    val a = pv.select(col("lsh_t"), col("lsh_sig"),
+      col("vec_id").as("src"), col("v").as("v1"), col("n2").as("n21"))
+    val b = pv.select(col("lsh_t"), col("lsh_sig"),
+      col("vec_id").as("dst"), col("v").as("v2"), col("n2").as("n22"))
+    val scored = a.join(b, Seq("lsh_t", "lsh_sig"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("v1"), col("v2")) / (sqrt(col("n21")) * sqrt(col("n22"))), 6).as("cos"))
+      .distinct()
+    // two-phase top-k with src as the query key
+    topKPerQuery(scored.withColumnRenamed("src", "q_id")
+        .withColumnRenamed("dst", "vec_id"), k)
+      .select(col("q_id").as("src"), col("rank"), col("vec_id").as("dst"), col("cos"))
+  }
+
   /** X3 scale path: multi-table LSH approximate top-k (OR
     * amplification: `nTables` independent hash tables of `nPlanes` sign
     * bits each; a corpus vector is a candidate if it shares a bucket
@@ -625,6 +660,50 @@ object Similarity {
     // ann_recall_bounds below).
     Q.noOracle("ann_pq_topk") { (s, d) =>
       pqTopK(Tables.embeddings(s, d), nQ = 8, k = 10, idx = Some((s, d)))
+    },
+
+    // X84: the k-NN graph itself (approx — no SQL oracle; per-edge
+    // scores are exact cosines, graph quality driver-gated by
+    // knn_graph_bound below, planted-duplicate edge + mutuality pinned
+    // in SimilaritySpec).
+    Q.noOracle("knn_graph_lsh") { (s, d) =>
+      knnGraph(Tables.embeddings(s, d), k = 5, idx = Some((s, d)))
+        .orderBy("src", "rank")
+    },
+
+    // X84 quality gate: mean recall@5 of the graph's edges for 8 probe
+    // nodes vs the exact per-node scan — expected-empty bound, the
+    // ann_recall_bounds pattern. Floor 0.45 (the LSH operating point's
+    // floor; a kNN edge is a top-k query whose query set is the
+    // corpus). The exact side is LINEAR (8 probes × corpus), so the
+    // gate is cheap at any scale while the graph it audits is not
+    // recomputed — it reads the same persisted postings index.
+    Q("knn_graph_bound",
+      """SELECT CAST(NULL AS VARCHAR) AS method,
+        |  CAST(NULL AS DOUBLE) AS mean_recall, CAST(NULL AS DOUBLE) AS floor
+        |WHERE false""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val graph = knnGraph(emb, k = 5, idx = Some((s, d)))
+        .filter(col("src") < 8).select(col("src"), col("dst"))
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", norm2(col("v")))
+      val probes = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val exact = topKPerQuery(
+        v.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(dot(col("qv"), col("v")) / (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos")),
+        5).select(col("q_id").as("src"), col("vec_id").as("dst"))
+      exact
+        .join(graph.withColumn("hit", lit(1)), Seq("src", "dst"), "left")
+        .groupBy("src")
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+        .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        .select(lit("knn_lsh").as("method"), col("mean_recall"),
+          lit(0.45).as("floor"))
+        .filter(col("mean_recall") < col("floor"))
+        .orderBy("method")
     },
 
     // X14/X18/X31 (oracled, r11): the ANN recall FLOORS as one

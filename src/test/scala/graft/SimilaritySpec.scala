@@ -146,6 +146,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"kCodes=2 recall $tinyMean !< kCodes=16 recall $mean — codebook capacity is inert")
   }
 
+  test("X84 kNN graph: planted duplicate is its copy's mutual top neighbor; probe bound gate empty") {
+    import org.apache.spark.sql.functions._
+    // identical vectors share every LSH bucket in every table, so the
+    // edge is always a candidate; cos = 1.0 beats every other neighbor
+    // -> rank 1 in BOTH directions (kNN is directed; a true duplicate
+    // must be mutual)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val dup = emb.filter(col("vec_id") === 100)
+      .select(lit(maxId + 1).as("vec_id"), col("embedding"), col("label"))
+    val g = Similarity.knnGraph(emb.unionByName(dup), k = 5).cache()
+    assert(g.columns.toSeq == Seq("src", "rank", "dst", "cos"))
+    assert(g.filter(col("src") === maxId + 1 && col("rank") === 1)
+      .select("dst").as[Long].head() == 100L)
+    assert(g.filter(col("src") === 100L && col("rank") === 1)
+      .select("dst").as[Long].head() == maxId + 1)
+    g.unpersist()
+    // the driver-gated probe-recall bound holds at this fixture
+    assert(SparkEntry.queries("knn_graph_bound")(spark, SparkTestSession.sf0001).count() == 0L,
+      "knn_graph_bound emitted a row — probe recall fell under the 0.45 floor")
+  }
+
   test("IVF top-k: mean recall >= 0.5 at the default operating point, and probing fraction is partial") {
     val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
     val ivf = topkSets(Similarity.ivfTopK(emb, nQ = 8, k = 10))
