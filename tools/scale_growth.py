@@ -34,6 +34,10 @@ KNOWN_SUPERLINEAR = {
     "semdedup_keep",
     "jaccard_adjacent", "cc_components", "cc_clusters", "cc_keep_best",
     "dedup_apply_keep_best", "best_match_fuzzy", "contamination_matrix",
+    # all-corpus kNN graph: OUTPUT is linear (k edges/node) but the LSH
+    # candidate-edge volume grows quadratically per planted near-dup
+    # cell, same as the pair emitters (measured 1.98x per-row at 10x)
+    "knn_graph_lsh",
 }
 
 
