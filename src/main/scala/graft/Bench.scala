@@ -304,7 +304,11 @@ object Bench {
           s"queries >3x spread) — re-running flagged queries in a fresh JVM")
         forkShard(0, 1, Some(flaggedFirst.sorted)) match {
           case Some(rerun) =>
-            val m = rerun.toMap
+            // splice only re-runs that actually SUCCEEDED at least once:
+            // a query that fails in the recovery JVM (all runs -1) keeps
+            // its healthy first-pass times instead of silently degrading
+            // the published median for a query that ran fine (r12 ADVICE)
+            val m = rerun.filter(_._2.exists(_ >= 0)).toMap
             (firstPass.map { case (n, ts) => n -> m.getOrElse(n, ts) },
               m.keys.toSeq.sorted)
           case None =>

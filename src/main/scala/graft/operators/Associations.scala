@@ -109,8 +109,11 @@ object Associations {
     // side when it fits, which is the right call either way), and the
     // basket total rides in as a broadcast single row. Final top-k is
     // `TakeOrderedAndProject`.
+    // lp is MATERIALIZED: DuckDB otherwise inlines the DISTINCT into
+    // all four consumers and the 10x oracle ran 465 s (the r12 compare's
+    // one oracle-side timeout); materialized it is 3.7 s.
     Q("pmi_parts",
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |p AS (
          |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
          |  FROM lp a JOIN lp b

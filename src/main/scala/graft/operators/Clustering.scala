@@ -246,11 +246,39 @@ object Clustering {
       connectedComponents(docs, fingerprintBuckets(docs))
     }
 
-  /** Shared oracle scaffolding: DuckDB recursive-CTE reachability over the
-    * same bucket graph (tractable at oracle scale; the Spark side never
-    * builds these doc-doc edges). */
-  private def ccSql(select: String): String =
-    s"""WITH RECURSIVE toks AS (
+  /** Shared oracle scaffolding over the same bucket graph the Spark
+    * side clusters. Through r12 this was a recursive-CTE reachability
+    * CLOSURE — it materializes every (src, reachable) pair, so heavy
+    * planted-dup clusters at the 10x fixture made it intractable and
+    * the whole cc family sat on the 10x exclude list (r12 verdict
+    * task 2). Replaced by [[ccRounds]] unrolled rounds of the SAME
+    * region-min contraction the Spark side runs: per round, bucket-min
+    * of member labels, doc-min over its buckets, REGION min (every doc
+    * sharing an old label adopts the best min any member found), then
+    * two pointer jumps. Each round is linear in |memberships| — no
+    * doc-doc edge list is ever built — and the region step makes the
+    * region count contract geometrically exactly as in
+    * [[connectedComponents]]: measured convergence is 4-5 rounds at
+    * every fixture incl. 10x (vs 17 one-hop rounds), so 8 rounds carry
+    * ~2x margin. Every CTE is MATERIALIZED — DuckDB otherwise inlines
+    * the self-joined round CTEs and the plan doubles per round. The
+    * final CTE re-propagates once more and POISONS every label
+    * (+10^12) if anything would still move: a non-converged oracle
+    * hash-mismatches loudly instead of silently blessing a wrong
+    * label table. */
+  private val ccRounds = 8
+
+  private def ccSql(select: String): String = {
+    val iter = (0 until ccRounds).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT m.bucket, min(l.c) AS bc FROM memb m JOIN l$t l USING (doc_id) GROUP BY m.bucket),
+         |n$t AS MATERIALIZED (SELECT m.doc_id, min(b.bc) AS nc FROM memb m JOIN b$t b USING (bucket) GROUP BY m.doc_id),
+         |a$t AS MATERIALIZED (SELECT l.doc_id, l.c AS oc, least(l.c, coalesce(n.nc, l.c)) AS nc FROM l$t l LEFT JOIN n$t n USING (doc_id)),
+         |r$t AS MATERIALIZED (SELECT oc, min(nc) AS rm FROM a$t GROUP BY oc),
+         |d$t AS MATERIALIZED (SELECT a.doc_id, least(a.nc, r.rm) AS c FROM a$t a JOIN r$t r USING (oc)),
+         |j$t AS MATERIALIZED (SELECT x.doc_id, y.c AS c FROM d$t x JOIN d$t y ON x.c = y.doc_id),
+         |l${t + 1} AS MATERIALIZED (SELECT x.doc_id, y.c AS c FROM j$t x JOIN j$t y ON x.c = y.doc_id),""".stripMargin
+    }.mkString("\n")
+    s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', '', 'g')), '\\s+'), t -> len(t) > 0) AS t
        |  FROM documents),
        |sh AS (
@@ -260,15 +288,17 @@ object Clustering {
        |fp AS (
        |  SELECT doc_id, ascii(substring(h, 1, 1)) % 4 AS band, min(h) AS b
        |  FROM sh GROUP BY doc_id, band),
-       |memb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || b AS bucket FROM fp),
-       |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |          FROM memb a JOIN memb b USING (bucket)),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
-       |cc AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+       |memb AS MATERIALIZED (SELECT doc_id, CAST(band AS VARCHAR) || ':' || b AS bucket FROM fp),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS c FROM documents),
+       |$iter
+       |bf AS MATERIALIZED (SELECT m.bucket, min(l.c) AS bc FROM memb m JOIN l$ccRounds l USING (doc_id) GROUP BY m.bucket),
+       |nf AS MATERIALIZED (SELECT m.doc_id, min(b.bc) AS nc FROM memb m JOIN bf b USING (bucket) GROUP BY m.doc_id),
+       |chk AS MATERIALIZED (SELECT count(*) AS n FROM l$ccRounds l JOIN nf USING (doc_id) WHERE nf.nc < l.c),
+       |cc AS MATERIALIZED (SELECT doc_id,
+       |  c + CASE WHEN (SELECT n FROM chk) > 0 THEN 1000000000000 ELSE 0 END AS component
+       |  FROM l$ccRounds)
        |$select""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 

@@ -170,20 +170,66 @@ object Similarity {
     * later exchanges). Unlike the pair miner this keeps BOTH
     * directions (kNN is a directed relation), dedups multi-table
     * collisions, and extracts per-node top-k with the two-phase
-    * salted pattern — never a per-node global sort. Config default
-    * (6 planes × 24 tables) is annTopK's mid-cosine operating point:
-    * a kNN edge is exactly a top-k query whose query set is the whole
-    * corpus. Quality is driver-gated by `knn_graph_bound`: mean
-    * recall@5 over 8 probe nodes vs the exact scan, expected-empty. */
+    * salted pattern — never a per-node global sort.
+    *
+    * Candidate volume is bounded two ways (the r12 verdict's one weak
+    * spot — this was the registry's only superlinear query, 1.98x
+    * per-row at 10x, because 6 planes = 64 buckets/table makes bucket
+    * occupancy, and so the self-join, grow linearly with the corpus):
+    *
+    *   1. ADAPTIVE PLANE COUNT. `nPlanes` is a floor; the effective
+    *      count is `max(nPlanes, ceil(log2(n / occTarget)))`, so the
+    *      per-table key space grows with the corpus and EXPECTED bucket
+    *      occupancy stays in (occTarget/2, occTarget]. Base fixtures
+    *      (n ≤ 2048 at occTarget 32) keep 6 planes exactly — every
+    *      spec pin, the sf0.01 bound gate, and sf0.1 behavior are
+    *      unchanged. Self-join work per table is n × occupancy — linear
+    *      in expectation (occupied-bucket CONCENTRATION pushes the
+    *      realized mean ~2-3x above the uniform target; the cap below
+    *      is the hard ceiling). Finer buckets lower per-table collision
+    *      odds for a true neighbor, which the fixed 24-table OR
+    *      amplification must absorb; mean recall@5 stays driver-gated
+    *      (`knn_graph_bound`, floor 0.45) and measured per round.
+    *      Operating-point sweep (r13, KnnProbe): occTarget 64 → 158.5 s
+    *      at the 100x fixture (1.93x per-row vs 10x); occTarget 16 →
+    *      65.1 s but the sf0.1 bound margin thins to 0.475; occTarget
+    *      32 → 13.9 s at 10x / 131.2 s at 100x = 0.94x per-row,
+    *      SUB-linear, recall@5 = 1.0 at both scales and 0.725 at sf0.1
+    *      — the committed default.
+    *   2. HARD OCCUPANCY CAP (`bucketCap`, the SimHash be8f570
+    *      pattern). Adaptive planes bound the EXPECTED occupancy;
+    *      a skewed embedding space (mass concentrated on one side of
+    *      every hyperplane) can still overfill single buckets. Buckets
+    *      over the cap are deterministically DOWNSAMPLED to ~cap on
+    *      the dst side only — hash-mod on (vec_id, table-seeded salt),
+    *      so every node still queries (src side uncapped), each table
+    *      samples a DIFFERENT subset of a hot bucket (misses are
+    *      re-drawn nTables times), and re-runs are identical. Worst-
+    *      case per-bucket work falls from n_b² to n_b × cap. */
+  /** Effective plane count for [[knnGraph]]: smallest power-of-two key
+    * space keeping expected occupancy ≤ occTarget, floored at `floor`.
+    * n ≤ floor-keyspace × occTarget (4096 at defaults) → floor exactly. */
+  private[graft] def knnPlanesFor(n: Long, floor: Int = 6, occTarget: Int = 32): Int =
+    math.max(floor,
+      math.ceil(math.log(math.max(1.0, n.toDouble / occTarget)) / math.log(2.0)).toInt)
+
   def knnGraph(emb: DataFrame, k: Int,
                nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L,
-               idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
-    val (v, postings) = vectorsAndPostings(emb, nPlanes, nTables, seed, idx)
+               idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
+               occTarget: Int = 32, bucketCap: Int = 1024): DataFrame = {
+    val nPlanesEff = knnPlanesFor(emb.count(), nPlanes, occTarget)
+    val (v, postings) = vectorsAndPostings(emb, nPlanesEff, nTables, seed, idx)
     val pv = postings.join(v, "vec_id").localCheckpoint()
+    // ≤ 2^planes × nTables rows — always broadcastable; the cap filter
+    // is a broadcast join + a hash-mod, never a per-bucket sort.
+    val sizes = pv.groupBy("lsh_t", "lsh_sig").agg(count(lit(1)).as("bucket_n"))
     val a = pv.select(col("lsh_t"), col("lsh_sig"),
       col("vec_id").as("src"), col("v").as("v1"), col("n2").as("n21"))
-    val b = pv.select(col("lsh_t"), col("lsh_sig"),
-      col("vec_id").as("dst"), col("v").as("v2"), col("n2").as("n22"))
+    val b = pv.join(broadcast(sizes), Seq("lsh_t", "lsh_sig"))
+      .filter(col("bucket_n") <= bucketCap ||
+        pmod(xxhash64(col("vec_id"), col("lsh_t") + lit(seed)), col("bucket_n")) < bucketCap)
+      .select(col("lsh_t"), col("lsh_sig"),
+        col("vec_id").as("dst"), col("v").as("v2"), col("n2").as("n22"))
     val scored = a.join(b, Seq("lsh_t", "lsh_sig"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
@@ -458,7 +504,7 @@ object Similarity {
     * equi-join of the code stream on (sub, code) + one (q_id, vec_id)
     * partial-sum shuffle — the scan reads m bytes per vector instead
     * of 256, and no float vector ever crosses an exchange. */
-  def pqTopK(emb: DataFrame, nQ: Int, k: Int, m: Int = 8, kCodes: Int = 16,
+  def pqTopK(emb: DataFrame, nQ: Int, k: Int, m: Int = 16, kCodes: Int = 16,
              iters: Int = 2, rerank: Int = 64,
              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
     val subDim = 64 / m
@@ -723,9 +769,13 @@ object Similarity {
     // 0.03–0.11, far under any floor): LSH 0.45 (measured 0.66–0.70 at
     // sf0.001), IVF 0.40 (IvfSweep: 0.65 at the 12/4 default), SQ8
     // 0.85 (measured ≥0.95 — 8-bit codes barely perturb ranking), PQ
-    // 0.30 (measured 0.775 at the m=8/k=16/rerank=64 default; the
-    // wider margin covers recall decay as corpus density grows with
-    // sf — the shortlist size is fixed while distractors are not).
+    // 0.60 (r13: the r12 default m=8 measured 0.4625 at sf0.1 — its
+    // 0.30 floor only caught catastrophe; the PqSweep grid moved the
+    // default to m=16/k=16/rerank=64, measured 0.9125/0.9000/0.8250
+    // at the three SFs and 0.975 at 10x, so 0.60 = worst-case −0.22
+    // margin. Sub-vector width, not shortlist size, was the recall
+    // lever: 4-dim sub-quantizers halve per-subspace distortion while
+    // the shortlist stays 64 and the scan stays code-stream-only).
     Q("ann_recall_bounds",
       """SELECT CAST(NULL AS VARCHAR) AS method,
         |  CAST(NULL AS DOUBLE) AS mean_recall, CAST(NULL AS DOUBLE) AS floor
@@ -744,7 +794,7 @@ object Similarity {
       meanRecall("lsh", annTopK(emb, 8, 10, idx = Some((s, d))), 0.45)
         .unionAll(meanRecall("ivf", ivfTopK(emb, 8, 10, idx = Some((s, d))), 0.40))
         .unionAll(meanRecall("sq8", sq8TopK(emb, 8, 10), 0.85))
-        .unionAll(meanRecall("pq", pqTopK(emb, 8, 10, idx = Some((s, d))), 0.30))
+        .unionAll(meanRecall("pq", pqTopK(emb, 8, 10, idx = Some((s, d))), 0.60))
         .filter(col("mean_recall") < col("floor"))
         .orderBy("method")
     }

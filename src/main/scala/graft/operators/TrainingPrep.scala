@@ -285,7 +285,7 @@ object TrainingPrep {
         |  round(coalesce(CAST(q AS DOUBLE), mean_q), 6) AS q_imputed,
         |  (q IS NULL) AS was_imputed
         |FROM w JOIN m ON w.l_returnflag = m.l_returnflag
-        |ORDER BY l_orderkey, l_linenumber, w.l_returnflag, q_imputed""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, w.l_returnflag, q_imputed, was_imputed""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val withNulls = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -298,8 +298,11 @@ object TrainingPrep {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(coalesce(col("q").cast("double"), col("mean_q")), 6).as("q_imputed"),
           col("q").isNull.as("was_imputed"))
-        // total order for the same non-PK reason as feature_scale
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "q_imputed")
+        // total order for the same non-PK reason as feature_scale —
+        // including was_imputed: an imputed row whose group mean rounds
+        // (6dp) to a present quantity on a duplicated key would
+        // otherwise still tie-order differently across engines
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "q_imputed", "was_imputed")
     }
   )
 }

@@ -416,7 +416,21 @@ object StreamingOps {
     * footprint is reclaimed instead of growing with the key universe.
     * A key seen again after its TTL restarts from empty state (the
     * correct read: its profile went cold, not "resumed"). TTL is
-    * processing-time-based, hence TimeMode.ProcessingTime. */
+    * processing-time-based, hence TimeMode.ProcessingTime.
+    *
+    * MEASURED PRICE of the TTL configuration (10x soak, 1M events /
+    * 15k users, STREAM_SOAK r13): ~2x the non-TTL variant's streaming
+    * work time and ~7x its reported state bytes. Both are the TTL
+    * bookkeeping RocksDB must carry per state variable: every write
+    * also upserts a TTL-index entry ((expiry, key) ordering) and a
+    * per-key min-expiry record — for this processor's small values
+    * (two longs + a map entry per event type) those secondary column
+    * families rival the primary state itself, and every data batch in
+    * TimeMode.ProcessingTime additionally runs the expired-state sweep.
+    * The r12 soak's headline "74.2 s vs 5.4 s" was NOT this price: 64 s
+    * of it was the scenario's mandatory wall-clock expiry sleep, which
+    * the soak now reports separately (`ttl_sleep_s`) instead of folding
+    * into the operator's seconds. */
   def userActivityTtl(events: Dataset[(Long, String)],
                       ttl: java.time.Duration): Dataset[UserActivity] = {
     import events.sparkSession.implicits._

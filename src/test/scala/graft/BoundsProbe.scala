@@ -40,6 +40,7 @@ object BoundsProbe {
       mr("lsh", Similarity.annTopK(emb, 8, 10, idx = Some((spark, d))))
       mr("ivf", Similarity.ivfTopK(emb, 8, 10, idx = Some((spark, d))))
       mr("sq8", Similarity.sq8TopK(emb, 8, 10))
+      mr("pq", Similarity.pqTopK(emb, 8, 10, idx = Some((spark, d))))
 
       val hll = Tables.lineitem(spark, d).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),

@@ -39,8 +39,15 @@ class ReadmeIndexSpec extends AnyFunSuite {
       "queries map dropped entries relative to the registry")
   }
 
+  // r12 verdict task 4: §2b rows implemented outside the query registry
+  // (streaming ingest, sinks, the CLI) get PINNED-SURFACE rows in the
+  // same table — visible to a README reader, validated here like any
+  // registry row, so the coverage test below holds by construction.
+  private lazy val queryRows = tableRows.filterNot(_._3 == "pinned surface")
+  private lazy val pinnedRows = tableRows.filter(_._3 == "pinned surface")
+
   test("README index lists exactly the registered queries") {
-    val listed = tableRows.map(_._2).toSet
+    val listed = queryRows.map(_._2).toSet
     val registered = SparkEntry.queries.keySet
     assert(listed == registered,
       s"missing from README: ${(registered -- listed).toSeq.sorted.mkString(",")}; " +
@@ -49,7 +56,7 @@ class ReadmeIndexSpec extends AnyFunSuite {
   }
 
   test("README index file:line anchors point at the live registrations") {
-    tableRows.foreach { case (_, name, _, loc) =>
+    queryRows.foreach { case (_, name, _, loc) =>
       val Array(file, line) = loc.split(":")
       val p = root.resolve(file)
       assert(java.nio.file.Files.exists(p), s"$name: $file gone — regenerate index")
@@ -59,19 +66,22 @@ class ReadmeIndexSpec extends AnyFunSuite {
     }
   }
 
-  // VERDICT r08 task 9: SURVEY §2b rows implemented OUTSIDE the query
-  // registry (streaming ingest, sinks, the CLI) — each must still be
-  // traceable to a tagged main-source comment; everything else must be
-  // covered by a registered query's survey-row tag.
-  private val NoRegistryRows = Map(
-    "G21" -> "streaming/StreamingOps.scala",
-    "G23" -> "streaming/StreamingOps.scala",
-    "G24" -> "sources/Sinks.scala",
-    "G24b" -> "sources/Sinks.scala",
-    "G33" -> "WordCount.scala",
-    "X59" -> "streaming/StreamingOps.scala",
-    "X60" -> "sources/Sinks.scala",
-    "X81" -> "streaming/StreamingOps.scala")
+  test("pinned-surface rows exist and their anchors carry the survey-row tag") {
+    // the registry-less §2b surfaces the table must keep visible
+    val expected = Set("G21", "G23", "G24", "G24b", "G33", "X59", "X60", "X81")
+    val tags = pinnedRows.map(_._1).toSet
+    assert(tags == expected,
+      s"pinned-surface rows drifted: missing ${(expected -- tags).mkString(",")}, " +
+        s"extra ${(tags -- expected).mkString(",")} — run tools/readme_index.py")
+    pinnedRows.foreach { case (tag, _, _, loc) =>
+      val Array(file, line) = loc.split(":")
+      val p = root.resolve(file)
+      assert(java.nio.file.Files.exists(p), s"$tag: $file gone — regenerate index")
+      val l = java.nio.file.Files.readAllLines(p).get(line.toInt - 1)
+      assert(s"\\b${java.util.regex.Pattern.quote(tag)}\\b".r.findFirstIn(l).isDefined,
+        s"$tag: $loc no longer carries the survey-row tag — regenerate index")
+    }
+  }
 
   test("every SURVEY §2b row ID is attributed to a registered query or a pinned surface") {
     val survey = new String(
@@ -80,6 +90,8 @@ class ReadmeIndexSpec extends AnyFunSuite {
       .findAllMatchIn(survey).map(_.group(1)).toSeq
     assert(rowIds.size >= 115, s"SURVEY §2b row table shrank to ${rowIds.size} rows?")
 
+    // pinned-surface rows count exactly like query rows — a registry-less
+    // operator (X81) is attributed through the same table
     val tags = tableRows.map(_._1).toSet
     // a finer-grained sub-tag (X40a…X40d) covers its base row (X40);
     // a base tag never covers a suffixed row (G24 does not cover G24b)
@@ -87,24 +99,17 @@ class ReadmeIndexSpec extends AnyFunSuite {
       tags.contains(id) || tags.exists(t => t.length == id.length + 1 &&
         t.startsWith(id) && t.last.isLetter)
 
-    val missing = rowIds.filterNot { id =>
-      covered(id) || (NoRegistryRows.get(id) match {
-        case Some(file) =>
-          val src = new String(java.nio.file.Files.readAllBytes(
-            root.resolve(s"src/main/scala/graft/$file")), "UTF-8")
-          src.contains(id)
-        case None => false
-      })
-    }
+    val missing = rowIds.filterNot(covered)
     assert(missing.isEmpty,
       s"SURVEY §2b rows with no query attribution and no pinned surface: " +
-        s"${missing.mkString(",")} — tag the owning query's doc comment or " +
-        "add a TAG_OVERRIDES entry in tools/readme_index.py, then regenerate")
+        s"${missing.mkString(",")} — tag the owning query's doc comment, add a " +
+        "TAG_OVERRIDES entry, or a PINNED_SURFACES entry in " +
+        "tools/readme_index.py, then regenerate")
   }
 
   test("README oracle column matches oracleSql registration") {
     val oracled = SparkEntry.oracleSql.keySet
-    tableRows.foreach { case (_, name, oracle, _) =>
+    queryRows.foreach { case (_, name, oracle, _) =>
       assert((oracle == "DuckDB") == oracled.contains(name),
         s"$name: README says '$oracle' but oracleSql ${if (oracled.contains(name)) "has" else "lacks"} it")
     }

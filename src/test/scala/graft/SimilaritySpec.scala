@@ -129,13 +129,13 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("X83 PQ ADC top-k: mean recall >= 0.3 at m=8/k=16, and a collapsed codebook does worse") {
+  test("X83 PQ ADC top-k: mean recall >= 0.6 at m=16/k=16, and a collapsed codebook does worse") {
     val exact = topkSets(Similarity.cosineTopK(emb, nQ = 8, k = 10))
     val pq = topkSets(Similarity.pqTopK(emb, nQ = 8, k = 10))
     val recalls = exact.map { case (q, ids) =>
       pq.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"mean PQ recall $mean — ADC ranking has collapsed")
+    assert(mean >= 0.6, s"mean PQ recall $mean — ADC ranking has collapsed")
     // negative control: 2 codes per subspace (16 cells total) cannot
     // separate neighbors — proves the bound reflects codebook capacity
     val tiny = topkSets(Similarity.pqTopK(emb, nQ = 8, k = 10, kCodes = 2))
@@ -165,6 +165,49 @@ class SimilaritySpec extends AnyFunSuite {
     // the driver-gated probe-recall bound holds at this fixture
     assert(SparkEntry.queries("knn_graph_bound")(spark, SparkTestSession.sf0001).count() == 0L,
       "knn_graph_bound emitted a row — probe recall fell under the 0.45 floor")
+  }
+
+  test("X84 adaptive planes: base fixtures keep the 6-plane floor; scale fixtures widen the key space") {
+    // expected occupancy stays in (occTarget/2, occTarget]
+    assert(Similarity.knnPlanesFor(500L) == 6)     // sf0.001/sf0.01
+    assert(Similarity.knnPlanesFor(2000L) == 6)    // sf0.1 (floor boundary)
+    assert(Similarity.knnPlanesFor(4096L) == 7)
+    assert(Similarity.knnPlanesFor(20000L) == 10)  // 10x fixture
+    assert(Similarity.knnPlanesFor(200000L) == 13) // 100x fixture
+    assert(Similarity.knnPlanesFor(20000000L) == 20)
+  }
+
+  test("X84 occupancy cap: a hot bucket is downsampled (bounded candidates) but the planted pair edge survives") {
+    import org.apache.spark.sql.functions._
+    // 1500 IDENTICAL filler vectors land in ONE bucket per table (a
+    // maximally skewed space: every hyperplane sees the same sign), so
+    // with bucketCap 256 every table's dst side is ~256 of 1502 and an
+    // uncapped self-join's 1502^2 pairs/table fall to ~1502x256. The
+    // planted pair (ids 2000/2001, the filler direction rotated 0.05
+    // into coord 1) shares the hot bucket in most tables (sign-flip
+    // odds per plane ~ atan(.05)*2/pi) but has mutual cos 1.0 > 0.9988
+    // vs any filler — it must out-rank the ~1500 capped fillers even
+    // though each table keeps only a ~17% sample of the bucket. Misses
+    // re-draw per table (the sample salt includes lsh_t), so the pair
+    // survives somewhere; seed-fixed either way.
+    val filler = transform(sequence(lit(0), lit(63)),
+      j => when(j === 0, lit(1.0)).otherwise(lit(0.001)))
+    val rotated = transform(sequence(lit(0), lit(63)),
+      j => when(j === 0, lit(1.0)).when(j === 1, lit(0.05)).otherwise(lit(0.001)))
+    val skewed = spark.range(1500)
+      .select(col("id").as("vec_id"), filler.as("embedding"), lit(0L).as("label"))
+      .unionByName(spark.range(2000, 2002)
+        .select(col("id").as("vec_id"), rotated.as("embedding"), lit(0L).as("label")))
+    val g = Similarity.knnGraph(skewed, k = 1, bucketCap = 256).cache()
+    // every node got a neighbor despite capping (src side is uncapped)
+    assert(g.count() == 1502L, "capping starved some nodes of candidates")
+    assert(g.filter(col("src") === 2000L).select("dst").as[Long].head() == 2001L)
+    assert(g.filter(col("src") === 2001L).select("dst").as[Long].head() == 2000L)
+    // determinism: the hash-mod sample is seed-fixed, not rand()
+    val g2 = Similarity.knnGraph(skewed, k = 1, bucketCap = 256)
+    assert(g.exceptAll(g2).isEmpty && g2.exceptAll(g).isEmpty,
+      "capped kNN graph is not deterministic across runs")
+    g.unpersist()
   }
 
   test("IVF top-k: mean recall >= 0.5 at the default operating point, and probing fraction is partial") {

@@ -100,7 +100,7 @@ class SinkSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir + "._compact_old")))
   }
 
-  test("schema evolution: appended files with a new column merge; old rows read NULL") {
+  test("X60 schema evolution: appended files with a new column merge; old rows read NULL") {
     import org.apache.spark.sql.functions._
     val dir = tmp("evolve")
     // producer v1: (k, a)
@@ -119,7 +119,7 @@ class SinkSpec extends AnyFunSuite {
     assert(plain.schema.fieldNames.length <= 3)
   }
 
-  test("JSONL sink: one compact object per line; explicit-schema read round-trips") {
+  test("G24b JSONL sink: one compact object per line; explicit-schema read round-trips") {
     import org.apache.spark.sql.functions._
     val dir = tmp("jsonl")
     val docs = sources.Tables.documents(spark, SparkTestSession.sf0001)

@@ -4,10 +4,11 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** End-to-end test of the [[WordCount]] CLI — the reference's
+/** G33: end-to-end test of the [[WordCount]] CLI — the reference's
   * `hadoop jar wc.jar WordCount input output [n]` invocation replayed
   * through spark-submit semantics: raw text in, `key\tcount` TSV part
-  * files out, concatenating (in part order) to a global sort. */
+  * files out, concatenating (in part order) to a global sort; the
+  * golden clam/cram example is byte-compared. */
 class WordCountCliSpec extends AnyFunSuite {
   // the CLI's getOrCreate() must find the shared test session
   lazy val spark = SparkTestSession.spark

@@ -25,6 +25,14 @@ import sys
 
 THRESHOLD = 1.5
 MIN_SEC = 0.15  # both medians under this: jitter, not a regression
+# r12 verdict task 8: every round spent adjudication prose on 1-2
+# sub-second flags that were pure boot-to-boot drift (word_count
+# 0.15->0.26s, zorder_layout 0.33->0.51s, ...). A ratio flag whose
+# ABSOLUTE delta is under this floor is reported as drift (informational)
+# instead of failing the guard — unless the query was declared touched
+# this round via --touched=a,b,c, in which case any ratio flag stands
+# (a deliberately-changed plan must never hide behind the floor).
+ABS_DELTA_SEC = 0.4
 
 
 def is_contended(path):
@@ -43,17 +51,30 @@ def is_contended(path):
         return False
 
 
+def is_filtered(path):
+    """Bench stamps subset runs (SPARK_GRAFT_BENCH_QUERIES) with
+    "filtered": true — a subset artifact saved under a BENCH_SELF_r*
+    name must never be the regression reference: queries absent from it
+    would silently drop out of the per-query comparison (r12 ADVICE).
+    Quarantined exactly like the contended stamp."""
+    try:
+        with open(path) as f:
+            return bool(json.load(f).get("filtered", False))
+    except (OSError, ValueError):
+        return False
+
+
 def candidates(pattern, below=None):
-    """All non-contended artifacts matching `pattern` (suffixed names
-    like BENCH_SELF_r09_sf01.json included), sorted newest first by
-    (round number, mtime). Returned as (path, round) pairs so callers
-    can walk back through EVERY comparable artifact — picking one per
-    round (the pre-r11 shape) skipped a whole round whenever its newest
-    artifact happened to be at a different sf than the current run
-    (r10 ADVICE)."""
+    """All non-contended, non-filtered artifacts matching `pattern`
+    (suffixed names like BENCH_SELF_r09_sf01.json included), sorted
+    newest first by (round number, mtime). Returned as (path, round)
+    pairs so callers can walk back through EVERY comparable artifact —
+    picking one per round (the pre-r11 shape) skipped a whole round
+    whenever its newest artifact happened to be at a different sf than
+    the current run (r10 ADVICE)."""
     out = []
     for p in glob.glob(pattern) + glob.glob(pattern.replace(".json", "_*.json")):
-        if is_contended(p):
+        if is_contended(p) or is_filtered(p):
             continue
         m = re.search(r"_r(\d+)(?:_[A-Za-z0-9]+)*\.json$", p)
         if not m:
@@ -130,10 +151,17 @@ def medians(path):
 
 
 def main():
-    if len(sys.argv) >= 3:
-        cur_path, prev_path = sys.argv[1], sys.argv[2]
+    touched = set()
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--touched="):
+            touched.update(q for q in a[len("--touched="):].split(",") if q)
+        else:
+            argv.append(a)
+    if len(argv) >= 2:
+        cur_path, prev_path = argv[0], argv[1]
     else:
-        cur_path = sys.argv[1] if len(sys.argv) == 2 else None
+        cur_path = argv[0] if len(argv) == 1 else None
         if cur_path is None:
             cur_path, cur_n = newest("BENCH_SELF_r*.json")
         else:
@@ -150,6 +178,10 @@ def main():
             if same_content("BENCH_CANON.json", cur_path):
                 print("bench_guard: BENCH_CANON.json is identical to "
                       f"{cur_path} (fresh refresh?) — using prior round instead")
+            elif is_filtered("BENCH_CANON.json"):
+                print("bench_guard: BENCH_CANON.json is a FILTERED subset "
+                      "run — not a regression reference, using prior round "
+                      "instead")
             elif sf_of("BENCH_CANON.json") != sf_of(cur_path):
                 print("bench_guard: BENCH_CANON.json is at sf="
                       f"{sf_of('BENCH_CANON.json')} but {cur_path} is at "
@@ -187,7 +219,7 @@ def main():
               "trusting any flag in either direction.")
 
     cur, prev = medians(cur_path), medians(prev_path)
-    flagged, improved, new = [], 0, 0
+    flagged, drifted, improved, new = [], [], 0, 0
     for name, c in sorted(cur.items()):
         p = prev.get(name)
         if p is None:
@@ -199,15 +231,22 @@ def main():
             continue
         ratio = c / p
         if ratio > THRESHOLD and not (c < MIN_SEC and p < MIN_SEC):
-            flagged.append((name, p, c, ratio))
+            if abs(c - p) < ABS_DELTA_SEC and name not in touched:
+                drifted.append((name, p, c, ratio))
+            else:
+                flagged.append((name, p, c, ratio))
         elif ratio < 1 / THRESHOLD:
             improved += 1
 
     print(f"bench_guard: {cur_path} vs {prev_path}: "
           f"{len(cur)} queries ({new} new), {improved} improved >{THRESHOLD}x, "
-          f"{len(flagged)} flagged >{THRESHOLD}x")
+          f"{len(flagged)} flagged >{THRESHOLD}x, "
+          f"{len(drifted)} drift-ignored (|delta| < {ABS_DELTA_SEC}s, untouched)")
     for name, p, c, r in sorted(flagged, key=lambda x: -x[3]):
         print(f"  FLAG {name}: {p:.3f}s -> {c:.3f}s ({r:.2f}x)")
+    for name, p, c, r in sorted(drifted, key=lambda x: -x[3]):
+        print(f"  drift {name}: {p:.3f}s -> {c:.3f}s ({r:.2f}x) — "
+              "boot-to-boot noise, not failing the guard")
     sys.exit(1 if flagged else 0)
 
 

@@ -24,13 +24,15 @@ GUARD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_guard.py
 
 
 def write(d, name, queries, sf="/root/testdata/sf0.1", contended=False,
-          detail=None, mtime=None, driver_shape=False):
+          detail=None, mtime=None, driver_shape=False, filtered=False):
     """Write a synthetic artifact. `queries` is {name: median}; `detail`
     optionally {name: (median, min)} for the query_detail shape."""
     art = {"metric": "total", "value": sum(queries.values()),
            "n_queries": len(queries), "sf": sf, "queries": queries}
     if not driver_shape:
         art["contended"] = contended
+    if filtered:
+        art["filtered"] = True
     if detail is not None:
         art["query_detail"] = {
             k: {"median": med, "min": mn, "max": med, "runs": [med, mn, med]}
@@ -215,6 +217,62 @@ def test_failed_query_flags():
         write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
         write(d, "BENCH_SELF_r09.json", {"q1": -1.0}, mtime=2000)
         code, out = run_guard(d)
+        assert code == 1 and "FLAG q1" in out, out
+
+
+def test_filtered_subset_quarantined_as_reference():
+    """r12 ADVICE: a SPARK_GRAFT_BENCH_QUERIES subset artifact saved
+    under a BENCH_SELF name carries "filtered": true — it must never be
+    the reference (queries absent from it would drop out of the
+    compare). The guard walks past it to the full-run artifact."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0, "q2": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 0.9}, filtered=True, mtime=2000)
+        write(d, "BENCH_SELF_r10.json", {"q1": 1.0, "q2": 3.0}, mtime=3000)
+        code, out = run_guard(d)
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 1 and "FLAG q2" in out, out  # q2 visible via r08 only
+
+
+def test_filtered_canon_quarantined_as_reference():
+    """A filtered subset cp-ed over BENCH_CANON.json must likewise fall
+    through to the prior full-run round."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0, "q2": 1.0}, mtime=1000)
+        write(d, "BENCH_CANON.json", {"q1": 0.9}, filtered=True)
+        write(d, "BENCH_SELF_r09.json", {"q1": 1.0, "q2": 1.0}, mtime=2000)
+        code, out = run_guard(d)
+        assert "FILTERED subset" in out, out
+        assert "vs BENCH_SELF_r08.json" in out, out
+        assert code == 0, out
+
+
+def test_abs_delta_drift_floor():
+    """r12 verdict task 8: a ratio flag whose absolute delta is under
+    0.4s on an untouched query is boot-to-boot drift — reported as
+    informational, exit 0. The same ratio with a large absolute delta
+    still flags."""
+    with tempfile.TemporaryDirectory() as d:
+        # word_count-shaped: 0.15 -> 0.26s is 1.73x but |delta| = 0.11s
+        write(d, "BENCH_SELF_r08.json", {"q1": 0.15}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 0.26}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 0 and "drift q1" in out, out
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 1.0}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 1.6}, mtime=2000)
+        code, out = run_guard(d)
+        assert code == 1 and "FLAG q1" in out, out  # |delta| 0.6 >= 0.4
+
+
+def test_touched_query_bypasses_drift_floor():
+    """A query declared touched this round (--touched=) must flag even
+    under the absolute-delta floor — a deliberately-changed plan never
+    hides behind the drift heuristic."""
+    with tempfile.TemporaryDirectory() as d:
+        write(d, "BENCH_SELF_r08.json", {"q1": 0.15}, mtime=1000)
+        write(d, "BENCH_SELF_r09.json", {"q1": 0.26}, mtime=2000)
+        code, out = run_guard(d, "--touched=q1")
         assert code == 1 and "FLAG q1" in out, out
 
 
