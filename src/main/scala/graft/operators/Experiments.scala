@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -135,6 +136,66 @@ object Experiments {
             + lit(0.5) * when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0)), 9)
             .as("js_term"))
         .orderBy("lang")
+    },
+
+    // X86: two-sample Kolmogorov–Smirnov statistic between the A/B
+    // halves' purchase-value distributions — the NON-parametric
+    // companion to ab_test_welch (Welch compares means; KS flags ANY
+    // distributional shift: variance, shape, tails — the check a
+    // guardrail metric or a feature-drift monitor actually wants).
+    // D = max over observed values of |F_A(x) − F_B(x)|, with both
+    // empirical CDFs stepped at every distinct value of EITHER sample
+    // (the textbook two-sample definition; ties collapse into one step).
+    //
+    // 100 TB posture: one conditional count per distinct value (hash agg
+    // with map-side partials), then ONE ordered pass over the distinct-
+    // value table for the running sums — the sort is over |distinct
+    // values|, not |rows|, and a production variant quantizes values
+    // into fixed bins first to bound that cardinality. The final max is
+    // order-independent, so no float-accumulation ordering enters the
+    // result: each |F_A−F_B| is computed from exact integer cumulative
+    // counts with one division per side.
+    Q("ks_test_purchase",
+      """WITH e AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |              THEN 'A' ELSE 'B' END AS variant,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT value,
+        |    count(CASE WHEN variant = 'A' THEN 1 END) AS ca,
+        |    count(CASE WHEN variant = 'B' THEN 1 END) AS cb
+        |  FROM e GROUP BY value),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM c),
+        |r AS (
+        |  SELECT
+        |    CAST(SUM(ca) OVER (ORDER BY value) AS DOUBLE) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY value) AS DOUBLE) AS cum_b
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |  round(max(abs(cum_a / n_a - cum_b / n_b)), 6) AS d_ks
+        |FROM r CROSS JOIN t
+        |GROUP BY n_a, n_b""".stripMargin) { (s, d) =>
+      val variant = when(
+        substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8", "A")
+        .otherwise("B")
+      val c = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(variant.as("variant"), col("value"))
+        .groupBy("value")
+        .agg(count(when(col("variant") === "A", lit(1))).as("ca"),
+          count(when(col("variant") === "B", lit(1))).as("cb"))
+      val t = c.agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"))
+      val cdf = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(
+        sum("ca").over(cdf).cast("double").as("cum_a"),
+        sum("cb").over(cdf).cast("double").as("cum_b"))
+        .crossJoin(broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(round(max(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))), 6)
+          .as("d_ks"))
+        .select(col("n_a"), col("n_b"), col("d_ks"))
     }
   )
 }

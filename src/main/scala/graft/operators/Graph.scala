@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -42,6 +43,9 @@ object Graph {
   private val Damping = 0.85
   private val Teleport = 0.15
   private val Rounds = 3
+
+  /** X85 synchronous LPA rounds — fixed and unrolled in the oracle SQL. */
+  private val LpaRounds = 3
 
   /** One PageRank step: rank' = (1−d)/N + d·Σ_in rank(src)/deg(src).
     * The rank×deg side is |nodes| rows. When it fits the session's
@@ -367,6 +371,67 @@ object Graph {
           greatest(relCutoff * col("exact_2hop").cast("double"), lit(4.0)))
         .select(col("node"), col("abs_err"))
         .orderBy("node")
+    },
+
+    // X85: label-propagation community detection (Raghavan et al. 2007,
+    // "Near linear time algorithm to detect community structures") over
+    // the co-order part graph — the community read-out between X21's
+    // connected components (too coarse: one giant component) and X51's
+    // triangles (too local). Synchronous fixed-round form: every node
+    // starts as its own label; each round it adopts the MODE of its
+    // neighbors' labels, ties broken toward the smallest label — a
+    // deterministic function of the input (the async/random variant is
+    // not), oracle-able as unrolled SQL rounds like pagerank_trade.
+    //
+    // 100 TB posture: a round is one shuffle join of the edge list with
+    // the |V|-row label table keyed on the node id, one (node, label)
+    // hash count with map-side partials, and one node-partitioned
+    // window top-1 — the Pregel round shape; label state is 2
+    // columns/node and never collects. The static symmetrized edge
+    // table feeds all rounds of one plan so it is materialized once
+    // (the pagerank localCheckpoint convention).
+    Q("label_propagation",
+      """WITH e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS src, pb AS dst FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+        |c1 AS (SELECT s.dst AS v, l.label, count(*) AS c
+        |  FROM sym s JOIN l0 l ON s.src = l.v GROUP BY 1, 2),
+        |l1 AS (SELECT v, label FROM (
+        |  SELECT v, label, row_number() OVER (
+        |    PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst AS v, l.label, count(*) AS c
+        |  FROM sym s JOIN l1 l ON s.src = l.v GROUP BY 1, 2),
+        |l2 AS (SELECT v, label FROM (
+        |  SELECT v, label, row_number() OVER (
+        |    PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.dst AS v, l.label, count(*) AS c
+        |  FROM sym s JOIN l2 l ON s.src = l.v GROUP BY 1, 2),
+        |l3 AS (SELECT v, label FROM (
+        |  SELECT v, label, row_number() OVER (
+        |    PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c3) WHERE rn = 1)
+        |SELECT v AS part, label AS community FROM l3 ORDER BY part""".stripMargin) { (s, d) =>
+      val e = coorderEdges(s, d)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      val top1 = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
+      var lbl = sym.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v"))
+      for (_ <- 1 to LpaRounds) {
+        lbl = sym.join(lbl.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst").as("v"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(top1))
+          .filter(col("rn") === 1)
+          .select(col("v"), col("label"))
+      }
+      lbl.select(col("v").as("part"), col("label").as("community"))
+        .orderBy("part")
     }
   )
 
