@@ -147,14 +147,30 @@ object Experiments {
     // empirical CDFs stepped at every distinct value of EITHER sample
     // (the textbook two-sample definition; ties collapse into one step).
     //
-    // 100 TB posture: one conditional count per distinct value (hash agg
-    // with map-side partials), then ONE ordered pass over the distinct-
-    // value table for the running sums — the sort is over |distinct
-    // values|, not |rows|, and a production variant quantizes values
-    // into fixed bins first to bound that cardinality. The final max is
-    // order-independent, so no float-accumulation ordering enters the
-    // result: each |F_A−F_B| is computed from exact integer cumulative
-    // counts with one division per side.
+    // 100 TB posture (VERDICT r13 task 3): one conditional count per
+    // distinct value (hash agg with map-side partials), then the running
+    // CDF sums are TWO-PHASE over the distinct-value table — the X58
+    // assign_dense_ids pattern, never a global `ORDER BY value` window
+    // (with `value` a continuous double, |distinct| ≈ |purchase rows| at
+    // scale, so an unpartitioned window is a single-task sort of the
+    // table):
+    //   1. range-partition by value; running sums WITHIN each partition
+    //      (window partitioned by spark_partition_id — every task scans
+    //      only its own slice);
+    //   2. per-partition totals — a #partitions-row table, windowed on
+    //      ONE tiny partition bounded by the partition count — broadcast
+    //      back as offsets; cum = offset + local running sum.
+    // Cumulative counts depend only on the global value order, not on
+    // where the sampled range boundaries land, so the result matches the
+    // oracle's global running sums exactly. The final max is order-
+    // independent, so no float-accumulation ordering enters the result:
+    // each |F_A−F_B| is computed from exact integer cumulative counts
+    // with one division per side. The distinct-value table feeds the
+    // totals agg AND both phase passes, so it is materialized once
+    // (localCheckpoint — the pagerank/LPA convention). Degenerate guard:
+    // if either variant has zero purchases the CDF ratio is undefined —
+    // both engines emit ZERO rows (WHERE n_a > 0 AND n_b > 0) rather
+    // than a silent NULL d_ks.
     Q("ks_test_purchase",
       """WITH e AS (
         |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
@@ -175,6 +191,7 @@ object Experiments {
         |SELECT n_a, n_b,
         |  round(max(abs(cum_a / n_a - cum_b / n_b)), 6) AS d_ks
         |FROM r CROSS JOIN t
+        |WHERE n_a > 0 AND n_b > 0
         |GROUP BY n_a, n_b""".stripMargin) { (s, d) =>
       val variant = when(
         substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8", "A")
@@ -185,13 +202,27 @@ object Experiments {
         .groupBy("value")
         .agg(count(when(col("variant") === "A", lit(1))).as("ca"),
           count(when(col("variant") === "B", lit(1))).as("cb"))
+        .localCheckpoint()
       val t = c.agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"))
-      val cdf = Window.orderBy("value")
+      val ranged = c.repartitionByRange(8, col("value"))
+        .withColumn("pid", spark_partition_id())
+      val localCdf = Window.partitionBy("pid").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.select(
-        sum("ca").over(cdf).cast("double").as("cum_a"),
-        sum("cb").over(cdf).cast("double").as("cum_b"))
+      val local = ranged
+        .withColumn("la", sum("ca").over(localCdf))
+        .withColumn("lb", sum("cb").over(localCdf))
+      val prevPids = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy("pid")
+        .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+        .select(col("pid"),
+          coalesce(sum(col("sa")).over(prevPids), lit(0L)).as("oa"),
+          coalesce(sum(col("sb")).over(prevPids), lit(0L)).as("ob"))
+      local.join(broadcast(offsets), "pid")
+        .select((col("oa") + col("la")).cast("double").as("cum_a"),
+          (col("ob") + col("lb")).cast("double").as("cum_b"))
         .crossJoin(broadcast(t))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
         .groupBy("n_a", "n_b")
         .agg(round(max(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))), 6)
           .as("d_ks"))

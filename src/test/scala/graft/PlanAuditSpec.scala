@@ -406,4 +406,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "the sketch itself must aggregate partial/final")
     assert(!p.contains("CartesianProduct"), "no cartesian")
   }
+
+  test("ks_test_purchase: CDF is two-phase per range-partition, never a global window") {
+    // VERDICT r13 task 3: `value` is a continuous double, so at scale
+    // |distinct values| ≈ |purchase rows| and a bare ORDER BY value
+    // window is a single-task sort of the table. The shipped form is
+    // the X58 two-phase pattern: the data-sized running-sum window
+    // partitions by spark_partition_id over a range repartition, and
+    // only the #partitions-row offsets table is globally windowed.
+    val p = plan("ks_test_purchase")
+    assert(p.contains("rangepartitioning(value"),
+      "phase 1 must range-repartition the distinct-value table by value")
+    assert(p.contains("hashpartitioning(pid"),
+      "the data-sized CDF window must partition by spark_partition_id")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-partition offsets must broadcast back, not reshuffle the data")
+    // the only permissible SinglePartition consumers: the 8-row offsets
+    // window and the single-row totals/final aggs — the data-sized
+    // running-sum window spec must lead with pid, never bare value
+    assert(p.contains("windowspecdefinition(pid"),
+      "the CDF running sums must be windowed per range-partition")
+    assert(!p.contains("windowspecdefinition(value"),
+      "no unpartitioned running-sum window over the value table")
+  }
+
+  test("label_propagation: rounds are mergeable aggregations, no Window at all") {
+    // VERDICT r13 task 5: the per-round argmax is max(struct(c,-label))
+    // — partial/final mergeable aggregation with map-side combine —
+    // not a row_number window (which adds a shuffle-side sort within
+    // every node partition, three times per query).
+    val p = plan("label_propagation")
+    assert(!p.contains("Window"), "no window argmax in any LPA round")
+    assert(!p.contains("row_number"), "winner is an aggregation, not a rank")
+    assert(p.contains("partial_max(struct(c"),
+      "argmax must be the mergeable max-of-struct with map-side partials")
+    assert(!p.contains("CartesianProduct"), "rounds are keyed joins only")
+  }
 }
