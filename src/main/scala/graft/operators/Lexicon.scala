@@ -196,6 +196,100 @@ object Lexicon {
       a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos_a") + 1)
         .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
         .orderBy("doc_id")
+    },
+
+    // X87: BPE merge-pair counting — ONE round of byte-pair-encoding
+    // tokenizer training (Sennrich et al. 2016): the frequency of every
+    // adjacent symbol pair over the corpus, weighted by word frequency,
+    // whose argmax is the next merge a BPE trainer commits. The scale
+    // trick IS the operator: pairs are enumerated over the DISTINCT
+    // VOCABULARY (|V| rows, sub-linear in corpus size by Heaps' law)
+    // carrying each word's corpus frequency as a weight — never over
+    // the raw token stream — so one trainer round costs a token-count
+    // aggregation (map-side partials) plus O(|V|·avg_len) pair rows.
+    // Within-word repeats (e.g. "aaa" → "aa" twice) each count, exactly
+    // as a BPE trainer tallies occurrences; n_words counts words once.
+    // Top-50 cut is a bounded TakeOrderedAndProject with a pair-lexical
+    // tiebreak, deterministic across engines.
+    Q("bpe_pair_counts",
+      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents),
+         |vocab AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+         |pairs AS (
+         |  SELECT substr(v.term, CAST(u.i AS INT), 2) AS pair, v.term, v.freq
+         |  FROM vocab v, unnest(range(1, len(v.term))) AS u(i)
+         |  WHERE len(v.term) >= 2)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+         |  CAST(count(DISTINCT term) AS BIGINT) AS n_words
+         |FROM pairs GROUP BY pair
+         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      val pairs = vocab.filter(length(col("term")) >= 2)
+        .select(col("term"), col("freq"),
+          explode(sequence(lit(1), length(col("term")) - 1)).as("i"))
+        .select(col("term"), col("freq"),
+          col("term").substr(col("i"), lit(2)).as("pair"))
+      pairs.groupBy("pair")
+        .agg(sum(col("freq")).as("pair_count"),
+          countDistinct(col("term")).as("n_words"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(50)
+    },
+
+    // X89: Zipf-slope corpus fit — the log-log rank/frequency regression
+    // slope per language (natural text ≈ −1; a slope far off it flags
+    // synthetic, templated, or boilerplate-heavy slices — a cheap
+    // corpus-health probe next to the Gopher gates). Rank is assigned
+    // over the per-lang vocabulary (count DESC, term tiebreak — the
+    // engine-deterministic cut every vocab op here uses), capped at the
+    // top 200 terms so the regression width is constant. The OLS slope
+    // is computed from EXACT decimal moment sums (each ln / ln·ln term
+    // cast to DECIMAL(38,12) before SUM, so accumulation order cannot
+    // matter) and only the final closed-form division runs in double,
+    // rounded to 6 dp — the same float discipline as the BM25 scorer.
+    // Scale: only (lang, term) count rows reach the rank window, |V|
+    // per lang, sub-linear in corpus size; moments are map-side-partial.
+    Q("zipf_fit",
+      s"""WITH toks AS (SELECT lang, unnest($duckToks) AS term FROM documents),
+         |cnt AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term),
+         |ranked AS (
+         |  SELECT lang, c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, term) AS r
+         |  FROM cnt),
+         |sums AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS sx,
+         |    SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS sy,
+         |    SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS sxy,
+         |    SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS sxx
+         |  FROM ranked WHERE r <= 200 GROUP BY lang)
+         |SELECT lang, n AS n_terms,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+         |FROM sums ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+      val cnt = toks.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val ranked = cnt.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("c").desc, col("term"))))
+        .filter(col("r") <= 200)
+      val x = log(col("r").cast("double"))
+      val y = log(col("c").cast("double"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+      val sums = ranked.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(dec)).as("sx"),
+        sum(y.cast(dec)).as("sy"),
+        sum((x * y).cast(dec)).as("sxy"),
+        sum((x * x).cast(dec)).as("sxx"))
+      sums.select(col("lang"), col("n").as("n_terms"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6).as("slope"))
+        .orderBy("lang")
     }
   )
 }

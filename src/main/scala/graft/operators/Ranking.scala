@@ -10,12 +10,17 @@ import org.apache.spark.sql.types.DecimalType
   * score every document against a query term set with the
   * length-normalized saturating tf weight production search uses.
   *
-  * Plan shape (all broadcast sides are tiny by construction):
-  * tokenize → per-doc length + per-(doc,term) tf restricted to the query
-  * terms (the filter runs BEFORE the tf aggregation, so the shuffled tf
-  * table is |hits| rows, not |tokens|) → broadcast-join term df and the
-  * one-row corpus stats → per-term score → decimal sum per doc. Corpus
-  * stats (N, Σdl) ride in as a broadcast single row — never a collect.
+  * Plan shape (all broadcast sides are tiny by construction): ONE
+  * tokenize pass, ONE wide per-doc aggregation producing the doc length
+  * AND a conditional tf column per query term (the query term set is a
+  * compile-time constant, so tf pivots into |terms| wide columns with
+  * map-side partials instead of a second (doc,term)-keyed shuffle over a
+  * re-tokenized corpus), then corpus stats (N, Σdl, per-term df) as ONE
+  * broadcast row and a pure projection for the score — never a collect.
+  * The r12-era shape tokenized the corpus twice (dl and tf branches) and
+  * shuffled three times (dl, tf, df); this is the same numbers from one
+  * scan + one exchange, and the DuckDB oracle is deliberately left in
+  * the tf-rows form to keep the comparison differential.
   *
   * Cross-engine float discipline (same contract as pagerank_trade):
   * every constant is written as the SAME literal on both sides rather
@@ -58,23 +63,35 @@ object Ranking {
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
-      val tf = toks.filter(col("term").isInCollection(Terms))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) +
-        ((col("nd") - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+      val tfCols = Terms.map(t =>
+        sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"tf_$t"))
+      val perDoc = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("dl"), tfCols: _*)
+      val stats = perDoc.agg(
+        count(lit(1)).as("nd"),
+        (sum(col("dl")).as("sumdl") +:
+          Terms.map(t => sum(when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$t"))): _*)
       val rdl = (col("dl") * col("nd")).cast("double") / col("sumdl").cast("double")
-      val perTerm = idf * ((col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * rdl)))
-      tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), perTerm.cast(DecimalType(38, 12)).as("c"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum(col("c")).cast("double"), 6).as("score"))
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t").cast("double")
+        val df = col(s"df_$t")
+        val idf = log(lit(1.0) +
+          ((col("nd") - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)))
+        val c = idf * ((tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * rdl)))
+        when(col(s"tf_$t") > 0, c.cast(DecimalType(38, 12)))
+          .otherwise(lit(null).cast(DecimalType(38, 12)))
+      }
+      // fixed-order decimal fold over the |terms| wide columns — exact
+      // addition, so it equals the oracle's unordered SUM over tf rows
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+      val total = Terms.map(t => coalesce(termScore(t), zero)).reduce(_ + _)
+      val nTerms = Terms.map(t => when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+      perDoc.crossJoin(broadcast(stats))
+        .withColumn("n_terms", nTerms)
+        .filter(col("n_terms") > 0)
+        .select(col("doc_id"), col("n_terms"),
+          round(total.cast("double"), 6).as("score"))
         .orderBy("doc_id")
     },
 

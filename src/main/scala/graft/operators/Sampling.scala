@@ -108,6 +108,40 @@ object Sampling {
         .orderBy("doc_id")
     },
 
+    // X88: leakage-safe GROUP-holdout split — assign every row of a
+    // GROUP (here: a user's events) to the same 80/10/10 split by
+    // hashing the group key, never the row key. Row-hash splits (the
+    // dataset_split above) leak when rows within a group are
+    // near-duplicates or temporally correlated — a user's history
+    // straddling train and test lets the model memorize the holdout;
+    // group-holdout is the standard fix (GroupKFold / user-level
+    // splits). By construction a user CANNOT appear in two splits, so
+    // Σ n_users over the output equals the corpus's distinct users —
+    // the no-leak property is checkable from the output itself (and
+    // pinned in SamplingSpec). Same md5-prefix-threshold mechanics as
+    // dataset_split ('cccccccd' ≈ 0.8, 'e6666666' ≈ 0.9; a :gsplit
+    // salt decouples it from every other hash-of-id), scan-local label,
+    // then one hash aggregation with map-side partials; the exact
+    // distinct-user count is Spark's standard two-phase partial
+    // distinct, |users| keyed rows across the one exchange.
+    Q("split_group_holdout",
+      """SELECT
+        |  CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':gsplit'), 1, 8) < 'cccccccd' THEN 'train'
+        |       WHEN substring(md5(CAST(user_id AS VARCHAR) || ':gsplit'), 1, 8) < 'e6666666' THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val p = substring(md5(concat(col("user_id").cast("string"), lit(":gsplit"))), 1, 8)
+      val lbl = when(p < "cccccccd", "train").when(p < "e6666666", "valid").otherwise("test")
+      Tables.events(s, d)
+        .select(col("user_id"), lbl.as("split"))
+        .groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("split")
+    },
+
     // X71: corpus mixing to target proportions — draw a fixed-budget
     // training mix whose language shares match declared mixture weights
     // (the data-mixing step before LM training: upsample/downsample

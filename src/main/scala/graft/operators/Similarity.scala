@@ -195,7 +195,14 @@ object Similarity {
     *      65.1 s but the sf0.1 bound margin thins to 0.475; occTarget
     *      32 → 13.9 s at 10x / 131.2 s at 100x = 0.94x per-row,
     *      SUB-linear, recall@5 = 1.0 at both scales and 0.725 at sf0.1
-    *      — the committed default.
+    *      — the committed default. Re-measured r14 with the committed
+    *      artifact KNN100_r14.txt: warm 13.4 s / 163.3 s (the naive
+    *      1.22x per-row IS the 24.4/19.5 occupancy phase ratio of the
+    *      integer-plane sawtooth, r13 caught the opposite phase), and
+    *      the two warm 100x points (163.3 s at occ 24.4 vs 86.4 s at
+    *      occ 12.2) confirm cost = fixed floor + c·n·occ·tables,
+    *      occupancy-proportional and linear in n; recall@5 = 1.0 at
+    *      every measured point.
     *   2. HARD OCCUPANCY CAP (`bucketCap`, the SimHash be8f570
     *      pattern). Adaptive planes bound the EXPECTED occupancy;
     *      a skewed embedding space (mass concentrated on one side of

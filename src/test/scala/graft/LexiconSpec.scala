@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * docs, statistic sanity, and the pointwise-JS nonnegativity law. */
 class LexiconSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
   test("inverted_index: postings are the ascending first-k, capped, df binds") {
     val out = queries("inverted_index")(spark, sf001).cache()
@@ -123,5 +124,34 @@ class LexiconSpec extends AnyFunSuite {
         s"pmi ${top.getAs[Double]("pmi")} != recomputed $pmi")
       assert(cab == top.getAs[Long]("support"))
     } finally li.unpersist()
+  }
+
+  test("bpe_pair_counts: 2-char pairs, weighted counts bound word counts, ordered") {
+    val out = queries("bpe_pair_counts")(spark, sf001)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { case (pair, pc, nw) =>
+      assert(pair.length == 2, s"pair '$pair' not 2 chars")
+      // every contributing word occurs >= once in the corpus, so the
+      // freq-weighted occurrence count can never undercut the word count
+      assert(pc >= nw && nw >= 1, s"pair '$pair' counts pc=$pc nw=$nw")
+    }
+    // descending by weighted count with pair tiebreak — the merge-pick order
+    val sorted = out.sortBy { case (p, c, _) => (-c, p) }.toSeq
+    assert(out.toSeq == sorted)
+  }
+
+  test("zipf_fit: one row per lang, slope <= 0 (rank-freq is non-increasing)") {
+    val out = queries("zipf_fit")(spark, sf001)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (lang, n, slope) =>
+      assert(n >= 2, s"$lang fitted over $n terms")
+      // OLS slope of a non-increasing sequence against increasing rank
+      // is <= 0 by the Chebyshev sum inequality — a positive slope
+      // means the rank window broke ordering
+      assert(!slope.isNaN && slope <= 0.0, s"$lang slope $slope")
+    }
   }
 }

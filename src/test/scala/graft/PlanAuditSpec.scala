@@ -442,4 +442,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "argmax must be the mergeable max-of-struct with map-side partials")
     assert(!p.contains("CartesianProduct"), "rounds are keyed joins only")
   }
+
+  test("bm25_rank: corpus tokenized once, stats ride back as a broadcast row") {
+    // r14: the r12-era shape tokenized the corpus twice (dl and tf
+    // branches) and shuffled three times; the wide conditional-tf
+    // aggregation makes the whole scorer one tokenize + one per-doc
+    // exchange (AQE-reused by the stats branch) plus a single-row
+    // broadcast join. Reuse only appears in the FINAL adaptive plan,
+    // so execute first (the doc_bigram_surprise pattern).
+    val df = SparkEntry.queries("bm25_rank")(spark, SparkTestSession.sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || "FileScan".r.findAllIn(p).length == 1,
+      "the per-doc tf/dl exchange must be built once and reused by the stats branch")
+    assert(p.contains("BroadcastNestedLoopJoin"), "corpus stats must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join anywhere in the scorer")
+    assert(p.contains("partial_sum(CASE WHEN"),
+      "per-doc conditional tf must keep map-side partials")
+  }
+
+  test("bpe_pair_counts: pair counting runs over the vocab, top-50 is a bounded heap") {
+    val p = plan("bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be per-partition heaps, never a global sort of the pair table")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "pair aggregation must keep map-side partials")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

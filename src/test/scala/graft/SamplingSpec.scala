@@ -59,4 +59,22 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(a == b)
   }
+
+  test("split_group_holdout: no user leaks across splits; users partition exactly") {
+    val events = sources.Tables.events(spark, SparkTestSession.sf001)
+    val out = SparkEntry.queries("split_group_holdout")(spark, SparkTestSession.sf001)
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "valid", "test")))
+    // the no-leak law: every user lands in exactly ONE split, so the
+    // per-split distinct-user counts sum to the corpus's distinct users
+    val totalUsers = events.select(countDistinct("user_id")).collect().head.getLong(0)
+    assert(out.map(_._2).sum == totalUsers,
+      s"user counts ${out.map(_._2).sum} != $totalUsers — a user straddles splits")
+    assert(out.map(_._3).sum == events.count())
+    // directly: (user, split) pairs == users
+    val p = substring(md5(concat(col("user_id").cast("string"), lit(":gsplit"))), 1, 8)
+    val lbl = when(p < "cccccccd", "train").when(p < "e6666666", "valid").otherwise("test")
+    val pairs = events.select(col("user_id"), lbl.as("s")).distinct().count()
+    assert(pairs == totalUsers)
+  }
 }
