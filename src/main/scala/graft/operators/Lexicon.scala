@@ -65,6 +65,14 @@ object Lexicon {
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // DELIBERATE double-tokenize (r14 ScanAudit finding, measured and
+      // kept): routing both consumers through one (doc,term) aggregation
+      // (the tfidf shape) halves the tokenize but ships the full
+      // doc-term table across the exchange — measured 0.49s → 0.85s at
+      // sf0.1. Here BOTH branches collapse under map-side partials (the
+      // term-count branch ships ~|vocab| partial rows per task, the
+      // per-doc branch per-doc partials), so the token stream never
+      // crosses the network and recompute beats shuffle.
       val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("term")).limit(VocabSize)
@@ -113,9 +121,16 @@ object Lexicon {
          |  round(CAST(nuc.nucleus_size AS DOUBLE) / CAST(t.n_terms AS DOUBLE), 9) AS nucleus_frac
          |FROM tot t JOIN nuc USING (lang) ORDER BY t.lang""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // localCheckpoint: cnt feeds THREE consumers (tot, the running
+      // window, and via tot the final join), each column-pruned to a
+      // different shape Catalyst canonicalizes differently — left lazy
+      // the corpus is tokenized once per consumer (r14 ScanAudit found
+      // 3 scans). cnt is |lang × vocab| rows, sub-linear in corpus size,
+      // so the materialize-once convention (pagerank/LPA/KS) applies.
       val cnt = Tables.documents(s, d)
         .select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val tot = cnt.groupBy("lang")
         .agg(sum(col("c")).as("total"), count(lit(1)).as("n_terms"))
       val w = Window.partitionBy("lang").orderBy(col("c").desc, col("term"))

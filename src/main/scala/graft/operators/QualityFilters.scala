@@ -57,9 +57,30 @@ object QualityFilters {
   /** X23: corpus-frequent 5-gram ("boilerplate") fraction per doc —
     * a gram is boilerplate when ≥2 distinct docs contain it. */
   def boilerplate(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(TextFns.ngrams(col("text"), 5))).as("g"))
-    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    // the explicit repartition is the SHARED exchange both consumers sit
+    // on: the df-count branch and the join-back probe branch need grams
+    // hash-distributed by g, but left to itself the planner gives the
+    // df branch a partial-agg exchange and the probe branch a raw-rows
+    // exchange — canonically different subtrees, so AQE can't reuse and
+    // the corpus is gram-exploded TWICE (r14 ScanAudit). Pinning one
+    // user-specified exchange makes both branches read the same
+    // materialized shuffle: one explode, one gram shuffle. The df count
+    // loses its map-side partial, but grams are array_distinct per doc —
+    // partials barely compressed, and the probe branch was shipping the
+    // raw rows anyway.
+    // up-front isNotNull (the doc_bigram_surprise trick): the final LEFT
+    // JOIN infers isnotnull(doc_id) on the probe branch only, which would
+    // de-canonicalize the two copies of this subtree under the shared
+    // repartition exchange
+    val grams = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.ngrams(col("text"), 5))).as("g"))
+      .repartition(col("g"))
+    // count(doc_id) ≡ count(1) here (doc_id non-null) but REFERENCES
+    // doc_id, so column pruning can't strip it from this branch's copy
+    // of the gram generator — keeping both subtrees canonically equal
+    // is what lets AQE serve them from one materialized shuffle
+    val dfreq = grams.groupBy("g").agg(count(col("doc_id")).as("nd"))
     val per = grams.join(dfreq, "g").groupBy("doc_id").agg(
       count(lit(1)).as("n_grams"),
       sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))

@@ -29,7 +29,16 @@ object TextAnalysis {
   def tfidf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the tf>0 filter is vacuous (count >= 1 by construction) but keeps
+    // the count column REFERENCED in this branch — without it Catalyst
+    // prunes the inner aggregate to a bare distinct, the two tf subtrees
+    // stop being canonically equal, and AQE cannot reuse the tokenize
+    // stage: the corpus would be exploded twice (the doc_bigram_surprise
+    // pattern; r14 ScanAudit caught tfidf re-tokenizing)
+    val dfreq = tf.filter(col("tf") > 0).groupBy("term").agg(count(lit(1)).as("df"))
+    // n_docs stays a direct count over documents: it is a zero-column
+    // metadata-only scan (free at any scale), and deriving it from tf
+    // would drop zero-token docs the oracle's COUNT(*) includes
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
@@ -92,6 +101,15 @@ object TextAnalysis {
         |    AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS avg_logprob
         |FROM tok JOIN cnt USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // DELIBERATE triple-tokenize (r14 ScanAudit finding, measured and
+      // kept): the one-pass variant — per-(doc,term) multiplicities m,
+      // counts as Σm, Σ_terms m·x for the decimal sum — tokenizes once
+      // but ships the doc-term table across its exchange, and measured
+      // 0.64s → 0.91s at sf0.1. Here every branch collapses under
+      // map-side partials (cnt ships ~|vocab| partial rows per task, the
+      // final per-doc agg per-doc partials, n one row) and cnt broadcasts
+      // back, so the token stream never crosses the network and
+      // recompute beats shuffle.
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
