@@ -79,12 +79,20 @@ object Ranking {
           ((col("nd") - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)))
         val c = idf * ((tf * lit(2.2)) /
           (tf + lit(1.2) * (lit(0.25) + lit(0.75) * rdl)))
-        when(col(s"tf_$t") > 0, c.cast(DecimalType(38, 12)))
-          .otherwise(lit(null).cast(DecimalType(38, 12)))
+        // DECIMAL(20,12), NOT (38,12): Spark's add widens precision by
+        // one per step, and past 38 it keeps the integer digits by
+        // SHRINKING SCALE — (38,12)+(38,12) comes out (38,11), a silent
+        // HALF_UP round at the 11th decimal that flipped 9 scores at the
+        // 6dp boundary in the 10x oracle (r14). At (20,12) the 3-term
+        // chain tops out at (22,12): every add exact, so the fold equals
+        // the oracle's scale-12 SUM bit-for-bit. |per-term| < 10^8
+        // always (ln(nd) × bounded tf saturation), so 8 int digits fit.
+        when(col(s"tf_$t") > 0, c.cast(DecimalType(20, 12)))
+          .otherwise(lit(null).cast(DecimalType(20, 12)))
       }
       // fixed-order decimal fold over the |terms| wide columns — exact
       // addition, so it equals the oracle's unordered SUM over tf rows
-      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(20, 12))
       val total = Terms.map(t => coalesce(termScore(t), zero)).reduce(_ + _)
       val nTerms = Terms.map(t => when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
       perDoc.crossJoin(broadcast(stats))
