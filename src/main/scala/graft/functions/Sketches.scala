@@ -146,6 +146,73 @@ object Sketches {
     (s, i) => fn(s, i)
   }
 
+  /** [[TopKAgg]] over PAIR rows: best k (score, id1, id2) triples per
+    * group, ordered (score DESC, id1 ASC, id2 ASC). Same bounded-heap
+    * contract — ≤k state per group, map-side partial merge — but the
+    * payload is an edge, not a row id, so pair-emitting operators
+    * (near-dup mining, kNN edges) can cap their per-group output
+    * without packing two ids into one long (ids stay full-range
+    * BIGINT, safe at 100 TB corpus sizes). */
+  class TopKPairAgg(k: Int)
+      extends Aggregator[(Double, Long, Long),
+        (Array[Double], Array[Long], Array[Long]), Seq[(Double, Long, Long)]] {
+
+    override def zero: (Array[Double], Array[Long], Array[Long]) =
+      (Array.empty[Double], Array.empty[Long], Array.empty[Long])
+
+    private def beats(s1: Double, a1: Long, b1: Long,
+                      s2: Double, a2: Long, b2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+
+    override def reduce(buf: (Array[Double], Array[Long], Array[Long]),
+                        a: (Double, Long, Long)): (Array[Double], Array[Long], Array[Long]) = {
+      val (ss, i1, i2) = buf
+      val n = ss.length
+      if (n == k && !beats(a._1, a._2, a._3, ss(n - 1), i1(n - 1), i2(n - 1))) return buf
+      var pos = n
+      while (pos > 0 && beats(a._1, a._2, a._3, ss(pos - 1), i1(pos - 1), i2(pos - 1))) pos -= 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Double](m); val n1 = new Array[Long](m); val n2 = new Array[Long](m)
+      System.arraycopy(ss, 0, ns, 0, pos)
+      System.arraycopy(i1, 0, n1, 0, pos)
+      System.arraycopy(i2, 0, n2, 0, pos)
+      if (pos < m) { ns(pos) = a._1; n1(pos) = a._2; n2(pos) = a._3 }
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(ss, pos, ns, pos + 1, tail)
+        System.arraycopy(i1, pos, n1, pos + 1, tail)
+        System.arraycopy(i2, pos, n2, pos + 1, tail)
+      }
+      (ns, n1, n2)
+    }
+
+    override def merge(b1: (Array[Double], Array[Long], Array[Long]),
+                       b2: (Array[Double], Array[Long], Array[Long])): (Array[Double], Array[Long], Array[Long]) = {
+      var acc = b1
+      var i = 0
+      while (i < b2._1.length) { acc = reduce(acc, (b2._1(i), b2._2(i), b2._3(i))); i += 1 }
+      acc
+    }
+
+    override def finish(b: (Array[Double], Array[Long], Array[Long])): Seq[(Double, Long, Long)] = {
+      val out = new Array[(Double, Long, Long)](b._1.length)
+      var i = 0
+      while (i < out.length) { out(i) = (b._1(i), b._2(i), b._3(i)); i += 1 }
+      out.toSeq
+    }
+
+    override def bufferEncoder: Encoder[(Array[Double], Array[Long], Array[Long])] =
+      ExpressionEncoder[(Array[Double], Array[Long], Array[Long])]()
+    override def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long, Long)]]()
+  }
+
+  /** Column form: `topKPair(k)(scoreCol, id1Col, id2Col)`. */
+  def topKPair(k: Int): (Column, Column, Column) => Column = {
+    val fn = udaf(new TopKPairAgg(k), ExpressionEncoder[(Double, Long, Long)]())
+    (s, a, b) => fn(s, a, b)
+  }
+
   /** Column form: `countMin(d, w)(idxsCol)` over `array<int>` rows. */
   def countMin(d: Int, w: Int): Column => Column = {
     val fn = udaf(new CountMinAgg(d, w), ExpressionEncoder[Seq[Int]]())

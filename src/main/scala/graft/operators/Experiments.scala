@@ -154,23 +154,37 @@ object Experiments {
     // (with `value` a continuous double, |distinct| ≈ |purchase rows| at
     // scale, so an unpartitioned window is a single-task sort of the
     // table):
-    //   1. range-partition by value; running sums WITHIN each partition
-    //      (window partitioned by spark_partition_id — every task scans
-    //      only its own slice);
-    //   2. per-partition totals — a #partitions-row table, windowed on
-    //      ONE tiny partition bounded by the partition count — broadcast
-    //      back as offsets; cum = offset + local running sum.
-    // Cumulative counts depend only on the global value order, not on
-    // where the sampled range boundaries land, so the result matches the
-    // oracle's global running sums exactly. The final max is order-
-    // independent, so no float-accumulation ordering enters the result:
-    // each |F_A−F_B| is computed from exact integer cumulative counts
-    // with one division per side. The distinct-value table feeds the
-    // totals agg AND both phase passes, so it is materialized once
-    // (localCheckpoint — the pagerank/LPA convention). Degenerate guard:
-    // if either variant has zero purchases the CDF ratio is undefined —
-    // both engines emit ZERO rows (WHERE n_a > 0 AND n_b > 0) rather
-    // than a silent NULL d_ks.
+    //   1. bucket by value; running sums WITHIN each bucket (window
+    //      partitioned by the bucket id — every task scans only its own
+    //      slice);
+    //   2. per-bucket totals — a #buckets-row table, windowed on ONE
+    //      tiny partition bounded by the bucket count — broadcast back
+    //      as offsets; cum = offset + local running sum.
+    // The bucket id is DETERMINISTIC in the value (width_bucket over the
+    // broadcast min/max — r14 ADVICE): spark_partition_id over a
+    // repartitionByRange was correct only while BOTH consumers read ONE
+    // materialized range exchange, because RangePartitioner samples its
+    // boundaries with an RDD-id-dependent seed — if exchange reuse broke
+    // (canonicalization drift), local sums and offsets would be computed
+    // under DIFFERENT boundaries and d_ks silently wrong. min/max are
+    // exact order-independent aggregates, so recomputation cannot skew
+    // the boundaries; correctness no longer rests on plan reuse (both
+    // consumers anyway branch off the localCheckpoint, so the events
+    // scan + distinct-value agg run once regardless). The
+    // final max is order-independent, so no float-accumulation ordering
+    // enters the result: each |F_A−F_B| is computed from exact integer
+    // cumulative counts with one division per side. The distinct-value
+    // table feeds the totals agg AND both phase passes, so it is
+    // materialized once (localCheckpoint — the pagerank/LPA convention).
+    // Bucket skew follows the value distribution rather than sampled
+    // quantiles — acceptable for a CDF statistic whose input is the
+    // DISTINCT-value table (64 buckets, each window task sorts
+    // |distinct|/64 on non-pathological data; a skewed slice degrades
+    // balance, never correctness). Degenerate guard: if either variant
+    // has zero purchases the CDF ratio is undefined — both engines emit
+    // ZERO rows (WHERE n_a > 0 AND n_b > 0) rather than a silent NULL
+    // d_ks; a single distinct value (vmin = vmax) lands whole in bucket
+    // 0.
     Q("ks_test_purchase",
       """WITH e AS (
         |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
@@ -204,16 +218,24 @@ object Experiments {
           count(when(col("variant") === "B", lit(1))).as("cb"))
         .localCheckpoint()
       val t = c.agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"))
-      val ranged = c.repartitionByRange(8, col("value"))
-        .withColumn("pid", spark_partition_id())
+      val mm = c.agg(min("value").as("vmin"), max("value").as("vmax"))
+      val nBuckets = 64
+      val bucketed = c.crossJoin(broadcast(mm))
+        .withColumn("pid",
+          when(col("vmax") <= col("vmin"), lit(0))
+            .otherwise(least(
+              floor((col("value") - col("vmin"))
+                / (col("vmax") - col("vmin")) * nBuckets).cast("int"),
+              lit(nBuckets - 1))))
+        .drop("vmin", "vmax")
       val localCdf = Window.partitionBy("pid").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = ranged
+      val local = bucketed
         .withColumn("la", sum("ca").over(localCdf))
         .withColumn("lb", sum("cb").over(localCdf))
       val prevPids = Window.orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ranged.groupBy("pid")
+      val offsets = bucketed.groupBy("pid")
         .agg(sum("ca").as("sa"), sum("cb").as("sb"))
         .select(col("pid"),
           coalesce(sum(col("sa")).over(prevPids), lit(0L)).as("oa"),

@@ -278,7 +278,8 @@ object Lexicon {
          |    SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS sy,
          |    SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS sxy,
          |    SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS sxx
-         |  FROM ranked WHERE r <= 200 GROUP BY lang)
+         |  FROM ranked WHERE r <= 200 GROUP BY lang
+         |  HAVING count(*) >= 2)
          |SELECT lang, n AS n_terms,
          |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
@@ -299,6 +300,12 @@ object Lexicon {
         sum(y.cast(dec)).as("sy"),
         sum((x * y).cast(dec)).as("sxy"),
         sum((x * x).cast(dec)).as("sxx"))
+        // n = 1 makes the denominator exactly 0 (single ranked term):
+        // Spark's double 0/0 is NaN while DuckDB's is version-dependent
+        // (NULL vs NaN) — filter the degenerate fit identically on both
+        // engines (HAVING count(*) >= 2 in the oracle) instead of
+        // hashing an engine-specific 0/0 artifact (r14 ADVICE)
+        .filter(col("n") >= 2)
       sums.select(col("lang"), col("n").as("n_terms"),
         round((col("n").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))

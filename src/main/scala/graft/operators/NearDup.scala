@@ -55,13 +55,9 @@ object NearDup {
         }
       case None => minhashSignatures(docs).localCheckpoint()
     }
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        i => struct(i.as("band"), xxhash64(slice(col("sig"), i * R + 1, lit(R))).as("bsig")))).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+    val bands = bandExplode(sigs)
     // LSH guard: drop degenerate buckets before the self-join.
-    val small = bands.groupBy("band", "bsig")
-      .agg(count(lit(1)).as("bucket_n"))
+    val small = minhashBandStats(sigs)
       .filter(col("bucket_n") <= maxBucket)
     val inSmall = bands.join(small, Seq("band", "bsig"))
     val a = inSmall.select(col("band"), col("bsig"), col("doc_id").as("id1"), col("sig").as("s1"))
@@ -75,6 +71,25 @@ object NearDup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") / K).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** One row per (doc, band) with the 64-bit band-signature bucket key. */
+  private def bandExplode(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        i => struct(i.as("band"), xxhash64(slice(col("sig"), i * R + 1, lit(R))).as("bsig")))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+
+  /** Per-(band, bucket) occupancy over a signature table — the
+    * measurable candidate model behind [[minhashPairs]]: kept buckets
+    * (bucket_n ≤ [[maxBucket]]) contribute ≤ C(bucket_n, 2) candidate
+    * slots each, so total candidates ≤ N·Bands·(maxBucket−1)/2 — LINEAR
+    * in corpus size by construction. CalibProbe prints these counts per
+    * fixture (r14 VERDICT task 6: minhash_calibration's 10× growth must
+    * be attributed by measurement, not assumed) and NearDupSpec asserts
+    * the bound. */
+  def minhashBandStats(sigs: DataFrame): DataFrame =
+    bandExplode(sigs).groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bucket_n"))
 
   /** Per-doc 64-bit SimHash over normalized tokens. */
   def simhashSignatures(docs: DataFrame): DataFrame =
@@ -130,8 +145,19 @@ object NearDup {
     * compared — |cell|² work per cell instead of |corpus|²). Exact
     * within blocks → SQL-oracle-able. At 100 TB cells must themselves
     * be capped (the [[maxBucket]] guard) or sub-split by an LSH table —
-    * see [[embeddingNearDupLsh]]. */
-  def embeddingNearDupByLabel(emb: DataFrame, threshold: Double): DataFrame = {
+    * see [[embeddingNearDupLsh]].
+    *
+    * OUTPUT IS BOUNDED (r14 verdict: the raw pair emission was the
+    * repo's one output-superlinear query — within-label ≥τ pairs grow
+    * ~quadratically in label density, 10.57× per-row at 100×). Emitted
+    * per label: the qualifying-pair COUNT (linear state) plus the
+    * top-`k` pairs by (cos DESC, id1, id2) via the X29 bounded-heap
+    * [[graft.functions.Sketches.TopKPairAgg]] — ≤k rows per label,
+    * map-side partial merge, so the candidate stream is folded where
+    * it is generated and never shuffled or materialized. Compute per
+    * cell stays the declared quadratic SemDeDup-style cost; OUTPUT and
+    * post-join state are now O(labels·k). */
+  def embeddingNearDupByLabel(emb: DataFrame, threshold: Double, k: Int): DataFrame = {
     val v = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", Similarity.norm2(col("v")))
@@ -143,6 +169,13 @@ object NearDup {
         round(Similarity.dot(col("v1"), col("v2"))
           / (sqrt(col("n21")) * sqrt(col("n22"))), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy("label")
+      .agg(count(lit(1)).as("pair_count"),
+        Sketches.topKPair(k)(col("cos"), col("id1"), col("id2")).as("top"))
+      .select(col("label"), col("pair_count"), posexplode(col("top")))
+      .select(col("label"), col("pair_count"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col._2").as("id1"), col("col._3").as("id2"), col("col._1").as("cos"))
   }
 
   /** Embedding-cosine near-dup via the multi-table LSH postings —
@@ -423,7 +456,11 @@ object NearDup {
     },
     // Embedding-cosine near-dup, label-blocked (exact within blocks →
     // fully oracled; threshold 0.3 catches the natural similar tail of
-    // the synthetic vectors).
+    // the synthetic vectors). BOUNDED emission (r15): per label the
+    // qualifying-pair count plus the top-8 pairs by (cos DESC, id1,
+    // id2) — the oracle mirrors the cap with a row_number()/count()
+    // window over the same pair set, so the hash still pins every
+    // emitted score AND the full pair cardinality per label.
     Q("embedding_near_dup_by_label",
       """WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -432,10 +469,16 @@ object NearDup {
         |scored AS (
         |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
         |    round(list_inner_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
-        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, id1, id2, cos FROM scored
-        |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3).orderBy("id1", "id2")
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |ranked AS (
+        |  SELECT label, id1, id2, cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, id1, id2) AS rnk,
+        |    count(*) OVER (PARTITION BY label) AS pair_count
+        |  FROM scored WHERE cos >= 0.3)
+        |SELECT label, CAST(pair_count AS BIGINT) AS pair_count,
+        |  CAST(rnk AS INT) AS rnk, id1, id2, cos
+        |FROM ranked WHERE rnk <= 8 ORDER BY label, rnk""".stripMargin) { (s, d) =>
+      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3, 8).orderBy("label", "rnk")
     },
     // X79 SemDeDup (fully oracled): centroid-quantized clusters →
     // within-cluster cosine pairs → id-minimal keeper per ≥τ

@@ -151,8 +151,13 @@ object QualityFilters {
       gopherFilters(Tables.documents(s, d))
     },
 
+    // the toks WHERE mirrors the Spark side's up-front isNotNull(doc_id)
+    // (r14 ADVICE: without it, a gram shared between a null-id doc and
+    // one real doc would flip nd from 2 to 1 on one engine only — the
+    // null-free invariant must be enforced identically, not assumed)
     Q("boilerplate_ngrams",
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+         |  WHERE doc_id IS NOT NULL),
          |grams AS (SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+4], ' ') AS g
          |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
          |df AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),

@@ -107,6 +107,29 @@ class NearDupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_abs_err") <= 0.1)
     assert(r.getAs[Double]("max_abs_err") <= 0.5)
   }
+
+  test("X75 candidate bound: calibration candidates stay under the cap-guaranteed linear model") {
+    // r14 VERDICT task 6: the calibration's cost driver is |candidates|
+    // (each gets an exact-Jaccard verify), and its 10x growth comes from
+    // the copies fixture densifying buckets. The cap makes the worst
+    // case LINEAR: each kept bucket holds <= maxBucket docs, so a doc
+    // meets <= Bands*(maxBucket-1) partners, i.e. candidates <=
+    // n*Bands*(maxBucket-1)/2, and distinct pairs can never exceed the
+    // summed per-bucket pair slots. CalibProbe prints the same counts
+    // per fixture as a round record.
+    val docs = NearDup.withPlantedDups(
+      sources.Tables.documents(spark, SparkTestSession.sf001))
+    val sigs = NearDup.minhashSignatures(docs).localCheckpoint()
+    val n = sigs.count()
+    val slots = NearDup.minhashBandStats(sigs)
+      .filter(col("bucket_n") <= NearDup.maxBucket)
+      .agg(sum((col("bucket_n") * (col("bucket_n") - 1) / 2).cast("long")))
+      .head().getLong(0)
+    val cand = NearDup.minhashPairs(docs, 0.0).count()
+    assert(cand <= slots, s"$cand candidates exceed $slots per-bucket pair slots")
+    assert(cand <= n * NearDup.Bands * (NearDup.maxBucket - 1) / 2,
+      s"$cand candidates exceed the linear-in-n cap bound")
+  }
   test("incremental near-dup screen: planted twins screened out, novel batch docs survive") {
     // dedup_incremental_simjoin is oracled in the driver gate; this
     // pins the SEMANTIC shape in-repo at sf0.001: every 80%-truncated

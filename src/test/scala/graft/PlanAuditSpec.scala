@@ -407,25 +407,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian")
   }
 
-  test("ks_test_purchase: CDF is two-phase per range-partition, never a global window") {
-    // VERDICT r13 task 3: `value` is a continuous double, so at scale
-    // |distinct values| ≈ |purchase rows| and a bare ORDER BY value
-    // window is a single-task sort of the table. The shipped form is
-    // the X58 two-phase pattern: the data-sized running-sum window
-    // partitions by spark_partition_id over a range repartition, and
-    // only the #partitions-row offsets table is globally windowed.
+  test("ks_test_purchase: CDF is two-phase per deterministic bucket, never a global window") {
+    // VERDICT r13 task 3 + r14 ADVICE: `value` is a continuous double,
+    // so at scale |distinct values| ≈ |purchase rows| and a bare ORDER
+    // BY value window is a single-task sort of the table. The shipped
+    // form is the X58 two-phase pattern, with the bucket id a
+    // DETERMINISTIC function of (value, broadcast min/max) — NOT
+    // spark_partition_id over a repartitionByRange, whose sampled
+    // boundaries are RDD-id-seeded and therefore correct only while
+    // both consumers read one materialized exchange. Correctness must
+    // not rest on exchange reuse.
     val p = plan("ks_test_purchase")
-    assert(p.contains("rangepartitioning(value"),
-      "phase 1 must range-repartition the distinct-value table by value")
+    assert(!p.contains("SPARK_PARTITION_ID") && !p.contains("spark_partition_id"),
+      "bucket id must be a pure function of value, never a physical partition id")
     assert(p.contains("hashpartitioning(pid"),
-      "the data-sized CDF window must partition by spark_partition_id")
+      "the data-sized CDF window must partition by the bucket id")
     assert(p.contains("BroadcastHashJoin"),
-      "per-partition offsets must broadcast back, not reshuffle the data")
-    // the only permissible SinglePartition consumers: the 8-row offsets
+      "per-bucket offsets must broadcast back, not reshuffle the data")
+    // the only permissible SinglePartition consumers: the 64-row offsets
     // window and the single-row totals/final aggs — the data-sized
     // running-sum window spec must lead with pid, never bare value
     assert(p.contains("windowspecdefinition(pid"),
-      "the CDF running sums must be windowed per range-partition")
+      "the CDF running sums must be windowed per bucket")
     assert(!p.contains("windowspecdefinition(value"),
       "no unpartitioned running-sum window over the value table")
   }

@@ -167,14 +167,24 @@ def main():
         else:
             m = re.search(r"_r(\d+)(?:_[A-Za-z0-9]+)*\.json$", cur_path)
             cur_n = int(m.group(1)) if m else None
-        # prefer the pinned canonical clean run, then a prior
-        # self-published artifact (complete, never truncated), then
-        # the driver's wrapper. The canon is refreshed by cp-ing the
-        # newest BENCH_SELF into it, so when it is byte-identical to the
+        # prefer the ANCHORED same-sf per-query baseline (r14 VERDICT
+        # task 4: tools/rebaseline.py publishes a clean run as the
+        # standing denominator, so the guard compares like-for-like
+        # instead of chasing whatever last round published), then the
+        # pinned canonical clean run, then a prior self-published
+        # artifact (complete, never truncated), then the driver's
+        # wrapper. The canon is refreshed by cp-ing the newest
+        # BENCH_SELF into it, so when it is byte-identical to the
         # current artifact (refresh-then-guard: comparing a run against
         # itself can never flag) skip it for the prior-round BENCH_SELF.
         prev_path = None
-        if os.path.exists("BENCH_CANON.json") and cur_path:
+        for bp in sorted(glob.glob("BASELINE_PERQUERY_*.json")):
+            if sf_of(bp) == sf_of(cur_path) and not same_content(bp, cur_path):
+                prev_path = bp
+                print(f"bench_guard: using anchored baseline {bp} "
+                      f"(sf={sf_of(bp)})")
+                break
+        if prev_path is None and os.path.exists("BENCH_CANON.json") and cur_path:
             if same_content("BENCH_CANON.json", cur_path):
                 print("bench_guard: BENCH_CANON.json is identical to "
                       f"{cur_path} (fresh refresh?) — using prior round instead")

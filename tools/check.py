@@ -17,7 +17,15 @@ is byte-identical in behavior):
                                brute-force oracle can be intractable even
                                though the Spark side is linear)
   GRAFT_ORACLE_EXCLUDE=a,b,c   skip named queries outright (known
-                               quadratic/recursive-CTE oracles at 10x)
+                               quadratic/recursive-CTE oracles at 10x).
+                               Each entry may carry an IN-ARTIFACT
+                               rationale after '=' (r14 VERDICT task 2):
+                               GRAFT_ORACLE_EXCLUDE='a=why a;b=why b'
+                               (';'-separated when rationales are given,
+                               ','-separated for bare names). The JSON
+                               summary's "excluded" field records
+                               {name: rationale} so the artifact alone
+                               justifies its own skips.
 
 NOT part of the library — developer tooling only (driver-side python).
 """
@@ -48,8 +56,16 @@ def main(sf_dir, out_dir):
                   for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)}
 
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
-    exclude = {x.strip() for x in
-               os.environ.get("GRAFT_ORACLE_EXCLUDE", "").split(",") if x.strip()}
+    # exclude: {name: rationale}. 'a=why;b=why' carries rationales;
+    # bare 'a,b' (the legacy shape) records an empty rationale.
+    raw_excl = os.environ.get("GRAFT_ORACLE_EXCLUDE", "")
+    exclude = {}
+    for part in raw_excl.split(";" if "=" in raw_excl else ","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, why = part.partition("=")
+        exclude[name.strip()] = why.strip()
 
     def run_oracle(sql):
         """Run one oracle SQL, interrupting after timeout_s (0 = never).
@@ -72,7 +88,8 @@ def main(sf_dir, out_dir):
     # silently vanish from both tallies.
     for name in sorted(set(spark_dirs) | set(oracle)):
         if name in exclude:
-            print(f"SKIP {name}: excluded (GRAFT_ORACLE_EXCLUDE)")
+            why = exclude[name] or "excluded (no rationale given)"
+            print(f"SKIP {name}: excluded — {why}")
             statuses[name] = "skip_excluded"
             n_skip += 1; continue
         if name not in spark_dirs:
@@ -133,7 +150,9 @@ def main(sf_dir, out_dir):
             json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
                        "n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
                        "oracle_timeout_s": timeout_s,
-                       "excluded": sorted(exclude),
+                       # {name: rationale} — the artifact must justify
+                       # its own skips (r14 VERDICT task 2)
+                       "excluded": exclude,
                        "queries": statuses}, f, indent=1, sort_keys=True)
             f.write("\n")
     return 1 if n_fail else 0

@@ -1,0 +1,101 @@
+#!/bin/bash
+# Parameterized round-close evidence chain (r14 VERDICT task 3 — the
+# per-round copy-paste of round{N}_runs.sh kept leaving driver records
+# untracked at round close). Runs the full final-binary chain and
+# git-adds every record it produces, so `git status` is clean at close.
+#
+#   tools/round_final.sh <round>        e.g. tools/round_final.sh 15
+#
+# Sequential — benches never share the box. Run only when otherwise
+# idle and AFTER sbt test is green.
+#
+# r14 ADVICE: set -o pipefail and no `|| true` on bench/verify steps —
+# a failed run must fail the script, never silently produce empty/stale
+# evidence that downstream guard/growth steps then adjudicate. Guard
+# adjudications (bench_guard) are allowed to FLAG without killing the
+# chain (the flag report IS the evidence), but missing/empty artifacts
+# abort.
+set -euo pipefail
+cd /root/repo
+
+R="${1:?usage: tools/round_final.sh <round-number>}"
+export SPARK_GRAFT_CPUS=32
+
+# The two 10x oracle excludes, WITH their in-artifact rationales
+# (r14 VERDICT task 2): check.py records {name: rationale} in the
+# CORRECTNESS_10x artifact so it justifies its own skips.
+EXCL='dedup_incremental_simjoin=brute-force NOT-EXISTS near-dup oracle compares every (batch doc x corpus doc) trigram set in DuckDB - O(n^2) at the 6M-row fixture (>300s, interrupted); the Spark side is the linear prefix-filtered R-S join, hash-exact at sf0.01, and its pair recall is floor-oracled at every scale via neardup_recall_bounds;simjoin_prefix=oracle brute-forces exact Jaccard over all O(n^2) doc pairs in DuckDB - intractable at 6M rows; the Spark side touches only prefix-filter candidates (linear in candidates), is hash-exact at sf0.01, and planted-pair recall is bound-oracled via neardup_recall_bounds'
+
+require_nonempty() {
+  for f in "$@"; do
+    [ -s "$f" ] || { echo "FATAL: expected artifact $f missing or empty" >&2; exit 1; }
+  done
+}
+
+GUARD_RC=0
+
+echo "=== [1/9] canon refresh (sf0.001, final binary) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 GRAFT_BENCH_OUT=BENCH_CANON.json \
+  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+require_nonempty BENCH_CANON.json
+
+echo "=== [2/9] sf0.1 official artifact (final binary, full registry) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf01.json" \
+  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+require_nonempty "BENCH_SELF_r${R}_sf01.json"
+
+echo "=== [3/9] sf0.1 guard vs the anchored baseline ==="
+python3 tools/bench_guard.py "BENCH_SELF_r${R}_sf01.json" \
+  | tee "BENCH_GUARD_r${R}.txt" || GUARD_RC=1
+require_nonempty "BENCH_GUARD_r${R}.txt"
+
+echo "=== [4/9] 10x full-registry bench ==="
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf1.json" \
+  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+require_nonempty "BENCH_SELF_r${R}_sf1.json"
+
+echo "=== [5/9] sf1 guard vs the anchored sf1 baseline (r14 VERDICT task 5) ==="
+python3 tools/bench_guard.py "BENCH_SELF_r${R}_sf1.json" \
+  | tee "BENCH_GUARD_r${R}_sf1.txt" || GUARD_RC=1
+require_nonempty "BENCH_GUARD_r${R}_sf1.txt"
+
+echo "=== [6/9] 10x oracle compare (rationale-carrying excludes) ==="
+rm -rf /tmp/vout_10x
+SPARK_DRIVER_MEM=16g sbt -warn "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
+  | { grep -E "\[verify\].*failed" || true; }   # no failed lines is the good case
+[ -s /tmp/vout_10x/oracle_sql.json ] || { echo "FATAL: Verify wrote no oracle_sql.json" >&2; exit 1; }
+GRAFT_ORACLE_TIMEOUT_S=300 \
+GRAFT_ORACLE_JSON="CORRECTNESS_10x_r${R}.json" \
+GRAFT_ORACLE_EXCLUDE="$EXCL" \
+  python3 tools/check.py /tmp/graft_sf1 /tmp/vout_10x \
+  | tee "CORRECTNESS_10x_r${R}.txt" | tail -3
+require_nonempty "CORRECTNESS_10x_r${R}.json" "CORRECTNESS_10x_r${R}.txt"
+
+echo "=== [7/9] 100x full-registry stress, reps=1 ==="
+rm -rf /tmp/vout_10x /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
+df -h /tmp | tail -1
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_BENCH_REPS=1 SPARK_DRIVER_MEM=16g \
+  GRAFT_BENCH_OUT="SCALE100_r${R}.json" \
+  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+require_nonempty "SCALE100_r${R}.json"
+
+echo "=== [8/9] growth reports ==="
+python3 tools/scale_growth.py "BENCH_SELF_r${R}_sf1.json" "BENCH_SELF_r${R}_sf01.json" 10 \
+  | tee "SCALE_GROWTH_r${R}.txt"
+python3 tools/scale_growth.py "SCALE100_r${R}.json" "BENCH_SELF_r${R}_sf01.json" 100 \
+  | tee "SCALE100_r${R}.txt"
+require_nonempty "SCALE_GROWTH_r${R}.txt" "SCALE100_r${R}.txt"
+
+echo "=== [9/9] git add the round records ==="
+git add -- BENCH_CANON.json \
+  "BENCH_SELF_r${R}_sf01.json" "BENCH_GUARD_r${R}.txt" \
+  "BENCH_SELF_r${R}_sf1.json" "BENCH_GUARD_r${R}_sf1.txt" \
+  "CORRECTNESS_10x_r${R}.json" "CORRECTNESS_10x_r${R}.txt" \
+  "SCALE100_r${R}.json" "SCALE_GROWTH_r${R}.txt" "SCALE100_r${R}.txt"
+git status --short
+
+if [ "$GUARD_RC" -ne 0 ]; then
+  echo "DONE — but a bench guard FLAGGED regressions above; adjudicate before committing."
+else
+  echo "ALL DONE — 0 guard flags; records staged."
+fi
