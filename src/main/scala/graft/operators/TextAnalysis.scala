@@ -198,7 +198,17 @@ object TextAnalysis {
         .select(col("w1"), col("w2"),
           round(log((col("n2").cast("double") + lit(1)) / (col("n1") + col("nv"))), 9)
             .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("term"))
-      bgd.join(scored, Seq("w1", "w2"))
+      // Explicit build side (r15, measured at sf1): scored is the
+      // DISTINCT-gram LM table (1,210 rows at sf1) while bgd is the
+      // doc-gram table (2.6M rows); left to itself the planner built
+      // the hash relation on BGD — a 2.6M-entry broadcast — making
+      // this the slowest corpus query (8.0 s at sf1, BigramAudit).
+      // Broadcasting the gram-scale side streams bgd straight off its
+      // reused exchange into the per-doc partial agg. At 100 TB a
+      // web-scale gram table outgrows broadcast — drop the hint and
+      // the same plan becomes a shuffled join on (w1,w2), with bgd
+      // paying one doc-gram-scale exchange (the declared cost).
+      bgd.join(broadcast(scored), Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("n_bigrams"),
           round(sum(col("term") * col("cnt").cast(org.apache.spark.sql.types.DecimalType(10, 0)))

@@ -376,6 +376,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // matched separately, so it doesn't count here)
     val gens = "transform\\(sequence\\(1,".r.findAllIn(p).size
     assert(gens == 1, s"expected 1 live bigram explode subtree, saw $gens")
+    // r15: the join-back must build its hash relation on the
+    // DISTINCT-gram scored table (1,210 rows at sf1), never on the
+    // doc-gram bgd side (2.6M rows at sf1) — the planner's unhinted
+    // BuildLeft choice broadcast the 2.6M-row side and made this the
+    // slowest corpus query (8.0 s -> 2.2 s at sf1 after the flip)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin [w1") || l.contains("BroadcastHashJoin [w2"))
+    assert(joinLine.exists(_.contains("BuildRight")),
+      s"gram join must build on the scored (distinct-gram) side: $joinLine")
   }
 
   test("khop bound: ONE Sigma-deg^2 expansion; scalar n_nodes reads edges only") {
@@ -431,6 +440,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "the CDF running sums must be windowed per bucket")
     assert(!p.contains("windowspecdefinition(value"),
       "no unpartitioned running-sum window over the value table")
+  }
+
+  test("embedding_near_dup_by_label: pair stream folds through map-side bounded heaps") {
+    // r14 VERDICT task 1: the raw within-label pair emission was the
+    // repo's one output-superlinear query at 100x. The bounded form
+    // must fold candidate pairs into <=k partial heaps IN the join
+    // stage (partial_topkpairagg before the label exchange), so the
+    // exchange and the output carry O(labels*k) rows, and the pair
+    // sample is exploded only AFTER the final aggregation.
+    val p = plan("embedding_near_dup_by_label")
+    assert(p.contains("partial_topkpairagg"),
+      "bounded heap must keep map-side partials — the partial fold is the scale guarantee")
+    assert(p.contains("partial_count"),
+      "pair_count must aggregate partial/final, never re-scan")
+    assert(p.contains("posexplode"),
+      "the capped sample must be exploded from the aggregated heap")
+    assert(!p.contains("CartesianProduct"), "pairing stays label-blocked")
+    assert(!p.contains("Window"), "no window ranking over the raw pair stream")
   }
 
   test("label_propagation: rounds are mergeable aggregations, no Window at all") {
