@@ -64,11 +64,15 @@ rm -rf /tmp/vout_10x
 SPARK_DRIVER_MEM=16g sbt -warn "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
   | { grep -E "\[verify\].*failed" || true; }   # no failed lines is the good case
 [ -s /tmp/vout_10x/oracle_sql.json ] || { echo "FATAL: Verify wrote no oracle_sql.json" >&2; exit 1; }
+# a 10x mismatch is recorded loudly (ORACLE_RC) but does not abort the
+# chain — the remaining stress/growth artifacts are still evidence
+ORACLE_RC=0
 GRAFT_ORACLE_TIMEOUT_S=300 \
 GRAFT_ORACLE_JSON="CORRECTNESS_10x_r${R}.json" \
 GRAFT_ORACLE_EXCLUDE="$EXCL" \
   python3 tools/check.py /tmp/graft_sf1 /tmp/vout_10x \
-  | tee "CORRECTNESS_10x_r${R}.txt" | tail -3
+  > "CORRECTNESS_10x_r${R}.txt" 2>&1 || ORACLE_RC=1
+tail -3 "CORRECTNESS_10x_r${R}.txt"
 require_nonempty "CORRECTNESS_10x_r${R}.json" "CORRECTNESS_10x_r${R}.txt"
 
 echo "=== [7/9] 100x full-registry stress, reps=1 ==="
@@ -94,8 +98,14 @@ git add -- BENCH_CANON.json \
   "SCALE100_r${R}.json" "SCALE_GROWTH_r${R}.txt" "SCALE100_r${R}.txt"
 git status --short
 
+RC=0
+if [ "$ORACLE_RC" -ne 0 ]; then
+  echo "DONE — but the 10x oracle compare FAILED queries (see CORRECTNESS_10x_r${R}.txt); fix before committing."
+  RC=1
+fi
 if [ "$GUARD_RC" -ne 0 ]; then
   echo "DONE — but a bench guard FLAGGED regressions above; adjudicate before committing."
-else
-  echo "ALL DONE — 0 guard flags; records staged."
+elif [ "$RC" -eq 0 ]; then
+  echo "ALL DONE — 0 guard flags, 10x oracle clean; records staged."
 fi
+exit "$RC"
