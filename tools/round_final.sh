@@ -35,13 +35,17 @@ require_nonempty() {
 GUARD_RC=0
 
 echo "=== [1/9] canon refresh (sf0.001, final binary) ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 GRAFT_BENCH_OUT=BENCH_CANON.json \
-  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+if [ "${GRAFT_SKIP_CANON:-0}" = "1" ]; then
+  echo "skipped (GRAFT_SKIP_CANON=1 — canon already refreshed on this binary)"
+else
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 GRAFT_BENCH_OUT=BENCH_CANON.json \
+    sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
+fi
 require_nonempty BENCH_CANON.json
 
 echo "=== [2/9] sf0.1 official artifact (final binary, full registry) ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf01.json" \
-  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+  sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf01.json"
 
 echo "=== [3/9] sf0.1 guard vs the anchored baseline ==="
@@ -51,7 +55,7 @@ require_nonempty "BENCH_GUARD_r${R}.txt"
 
 echo "=== [4/9] 10x full-registry bench ==="
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf1.json" \
-  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+  sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf1.json"
 
 echo "=== [5/9] sf1 guard vs the anchored sf1 baseline (r14 VERDICT task 5) ==="
@@ -61,7 +65,7 @@ require_nonempty "BENCH_GUARD_r${R}_sf1.txt"
 
 echo "=== [6/9] 10x oracle compare (rationale-carrying excludes) ==="
 rm -rf /tmp/vout_10x
-SPARK_DRIVER_MEM=16g sbt -warn "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
+SPARK_DRIVER_MEM=16g sbt "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
   | { grep -E "\[verify\].*failed" || true; }   # no failed lines is the good case
 [ -s /tmp/vout_10x/oracle_sql.json ] || { echo "FATAL: Verify wrote no oracle_sql.json" >&2; exit 1; }
 # a 10x mismatch is recorded loudly (ORACLE_RC) but does not abort the
@@ -80,7 +84,7 @@ rm -rf /tmp/vout_10x /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
 df -h /tmp | tail -1
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_BENCH_REPS=1 SPARK_DRIVER_MEM=16g \
   GRAFT_BENCH_OUT="SCALE100_r${R}.json" \
-  sbt -warn "runMain graft.Bench" 2>/dev/null | grep metric
+  sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "SCALE100_r${R}.json"
 
 echo "=== [8/9] growth reports ==="
