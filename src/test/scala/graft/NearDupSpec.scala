@@ -130,6 +130,23 @@ class NearDupSpec extends AnyFunSuite {
     assert(cand <= n * NearDup.Bands * (NearDup.maxBucket - 1) / 2,
       s"$cand candidates exceed the linear-in-n cap bound")
   }
+  test("by-label profile: representative cap binds deterministically to the smallest vec_ids") {
+    // One label, 6 identical vectors → uncapped profile scores C(6,2)=15
+    // qualifying pairs. cap=3 must profile EXACTLY vec_ids {1,2,3}
+    // (smallest ids — deterministic, not a sample): C(3,2)=3 pairs.
+    // A cap at the group size must be a no-op (the sf0.01/sf0.1 gate
+    // relies on this: max label size 218 < the registered cap 256).
+    val emb = (1L to 6L).map(i => (i, "L0", Array(1.0f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val full = NearDup.embeddingNearDupByLabel(emb, 0.5, 8, 6)
+      .select("pair_count", "id1", "id2").as[(Long, Long, Long)].collect()
+    assert(full.forall(_._1 == 15L) && full.length == 8)
+    val capped = NearDup.embeddingNearDupByLabel(emb, 0.5, 8, 3)
+      .select("pair_count", "id1", "id2").as[(Long, Long, Long)].collect()
+    assert(capped.forall(_._1 == 3L) && capped.length == 3)
+    assert(capped.flatMap(p => Seq(p._2, p._3)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("incremental near-dup screen: planted twins screened out, novel batch docs survive") {
     // dedup_incremental_simjoin is oracled in the driver gate; this
     // pins the SEMANTIC shape in-repo at sf0.001: every 80%-truncated

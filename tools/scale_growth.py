@@ -28,7 +28,11 @@ KNOWN_SUPERLINEAR = {
     # same LSH-candidate set as minhash_calibration (the bound form just
     # filters it), so its cost grows with candidate pairs, not rows
     "minhash_calibration_bound",
-    "embedding_near_dup_lsh", "embedding_near_dup_by_label", "simjoin_prefix",
+    # NOTE: embedding_near_dup_by_label left this list in r15 — its
+    # compute is now capped at labels·256²/2 pair scores (deterministic
+    # per-label representatives), so any >3x per-row growth there is a
+    # real regression again.
+    "embedding_near_dup_lsh", "simjoin_prefix",
     # within-cluster screen over the fixture's `copies`-sized near-dup
     # cells: the pair set (and so the cost) grows with copies², by design
     "semdedup_keep",
