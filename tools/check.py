@@ -29,7 +29,7 @@ is byte-identical in behavior):
 
 NOT part of the library — developer tooling only (driver-side python).
 """
-import sys, os, json, glob, threading
+import sys, os, json, glob, re, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -56,11 +56,21 @@ def main(sf_dir, out_dir):
                   for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)}
 
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
-    # exclude: {name: rationale}. 'a=why;b=why' carries rationales;
-    # bare 'a,b' (the legacy shape) records an empty rationale.
+    # exclude: {name: rationale}. 'a=why||b=why' carries rationales;
+    # bare 'a,b' (the legacy shape) records an empty rationale. The
+    # separator is '||' because a prose rationale legitimately contains
+    # ';' and ',' (the r15 chain's rationales did, and a ';' split
+    # polluted the artifact with fragment keys); ';' is still accepted
+    # for compatibility but ONLY at a boundary that starts a new
+    # 'name=' entry (name = bare query-ident, no spaces).
     raw_excl = os.environ.get("GRAFT_ORACLE_EXCLUDE", "")
     exclude = {}
-    for part in raw_excl.split(";" if "=" in raw_excl else ","):
+    if "=" in raw_excl:
+        parts = re.split(r"\|\|" if "||" in raw_excl
+                         else r";(?=\s*[A-Za-z0-9_]+\s*=)", raw_excl)
+    else:
+        parts = raw_excl.split(",")
+    for part in parts:
         part = part.strip()
         if not part:
             continue

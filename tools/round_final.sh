@@ -24,7 +24,10 @@ export SPARK_GRAFT_CPUS=32
 # The two 10x oracle excludes, WITH their in-artifact rationales
 # (r14 VERDICT task 2): check.py records {name: rationale} in the
 # CORRECTNESS_10x artifact so it justifies its own skips.
-EXCL='dedup_incremental_simjoin=brute-force NOT-EXISTS near-dup oracle compares every (batch doc x corpus doc) trigram set in DuckDB - O(n^2) at the 6M-row fixture (>300s, interrupted); the Spark side is the linear prefix-filtered R-S join, hash-exact at sf0.01, and its pair recall is floor-oracled at every scale via neardup_recall_bounds;simjoin_prefix=oracle brute-forces exact Jaccard over all O(n^2) doc pairs in DuckDB - intractable at 6M rows; the Spark side touches only prefix-filter candidates (linear in candidates), is hash-exact at sf0.01, and planted-pair recall is bound-oracled via neardup_recall_bounds'
+# '||'-separated (r15: a prose rationale legitimately contains ';',
+# and the old ';' separator split these into artifact-polluting
+# fragment keys — check.py now treats '||' as the entry separator).
+EXCL='dedup_incremental_simjoin=brute-force NOT-EXISTS near-dup oracle compares every (batch doc x corpus doc) trigram set in DuckDB - O(n^2) at the 6M-row fixture (>300s, interrupted); the Spark side is the linear prefix-filtered R-S join, hash-exact at sf0.01, and its pair recall is floor-oracled at every scale via neardup_recall_bounds||simjoin_prefix=oracle brute-forces exact Jaccard over all O(n^2) doc pairs in DuckDB - intractable at 6M rows; the Spark side touches only prefix-filter candidates (linear in candidates), is hash-exact at sf0.01, and planted-pair recall is bound-oracled via neardup_recall_bounds'
 
 require_nonempty() {
   for f in "$@"; do
