@@ -335,6 +335,18 @@ object Bench {
     // rounds: the registry grows every round, and a raw total compared
     // against a fixed-size baseline silently penalizes added coverage.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // COMPACT trailing summary line (r15 VERDICT task 3): the driver's
+    // BENCH_r{N}.json parse has returned null EVERY round — it extracts
+    // from a 2000-char stdout TAIL, and the full metric line above
+    // (~6 KB with 225+ queries) never fits, so its leading '{"metric"'
+    // is always truncated away. This second line is <200 chars, sits
+    // last-but-one on stdout (only sbt's [success] follows), and is a
+    // complete JSON object inside any tail window ≥ ~300 chars —
+    // parseable by a last-lines scan or a {"metric"...} regex either
+    // way. The full per-query map still rides in the line above and in
+    // the self-published artifact below. Pinned in
+    // tools/test_bench_guard.py (tail-window simulation).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
 
     // Self-published artifact (VERDICT r04 task 3): the driver's stdout
     // capture has truncated the per-query map mid-JSON in past rounds,

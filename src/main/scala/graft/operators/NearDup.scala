@@ -24,6 +24,18 @@ object NearDup {
   val R = 4             // …of R rows each (K = Bands * R)
   val maxBucket = 64    // candidate-bucket size cap
 
+  /** Per-label representative cap for [[embeddingNearDupByLabel]].
+    * ONE constant feeds both the Scala operator and the interpolated
+    * DuckDB oracle SQL (r15 ADVICE: a hardcoded 256 on the oracle side
+    * could silently drift from a changed Scala cap). */
+  val ByLabelCap = 256
+
+  /** Per-cell screen cap for [[semDedupKeep]]: every vector is screened
+    * against at most this many smallest-vec_id representatives of its
+    * cell. Shared by the operator and its oracle SQL, same rationale as
+    * [[ByLabelCap]]. */
+  val SemDedupCap = 256
+
   /** Per-doc MinHash signature: explode distinct 3-token shingles,
     * hash each under K fixed seeds, element-wise min via the
     * [[Sketches.MinHashAgg]] UDAF. One shuffle (groupBy doc). */
@@ -91,6 +103,32 @@ object NearDup {
     bandExplode(sigs).groupBy("band", "bsig")
       .agg(count(lit(1)).as("bucket_n"))
 
+  /** The [[simhashPairs]] adaptive bucket cap as a pure function of
+    * corpus size (see the simhashPairs doc for the N/16 rationale and
+    * the [64, 4096] clamp), exposed so CalibProbe and NearDupSpec
+    * measure against the SAME model the operator enforces. */
+  def simhashCapEff(n: Long): Long =
+    math.max(maxBucket.toLong, math.min(4096L, n / 16))
+
+  /** One row per (doc, chunk) with the 16-bit chunk bucket key. */
+  private def chunkExplode(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("sig"), j * 16).bitwiseAND(0xffffL).as("csig"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.csig").as("csig"))
+
+  /** Per-(chunk, bucket) occupancy over a SimHash signature table —
+    * the measurable candidate model behind [[simhashPairs]] (r15
+    * VERDICT task 4): kept buckets (bucket_n ≤ [[simhashCapEff]])
+    * contribute ≤ C(bucket_n, 2) candidate slots each, so candidates
+    * ≤ n·4·(capEff−1)/2 — linear in n once the 4096 ceiling binds.
+    * CalibProbe prints these counts per fixture; NearDupSpec asserts
+    * the bound. */
+  def simhashChunkStats(sigs: DataFrame): DataFrame =
+    chunkExplode(sigs).groupBy("chunk", "csig")
+      .agg(count(lit(1)).as("bucket_n"))
+
   /** Per-doc 64-bit SimHash over normalized tokens. */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
@@ -120,14 +158,9 @@ object NearDup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // Materialized once for the same three-branch reason as minhashPairs.
     val sigs = simhashSignatures(docs).localCheckpoint()
-    val capEff = math.max(maxBucket.toLong, math.min(4096L, sigs.count() / 16))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk"),
-          shiftright(col("sig"), j * 16).bitwiseAND(0xffffL).as("csig"))): _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.csig").as("csig"))
-    val small = chunks.groupBy("chunk", "csig")
-      .agg(count(lit(1)).as("bucket_n"))
+    val capEff = simhashCapEff(sigs.count())
+    val chunks = chunkExplode(sigs)
+    val small = simhashChunkStats(sigs)
       .filter(col("bucket_n") <= capEff)
     val inSmall = chunks.join(small, Seq("chunk", "csig"))
     val a = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id1"), col("sig").as("s1"))
@@ -166,7 +199,9 @@ object NearDup {
     * pass with map-side partials, and a broadcast semi-join (labels·cap
     * rows) keeps their vectors — never a per-label window sort over the
     * fact table. Pair scoring is then ≤ labels·cap²/2 regardless of
-    * corpus size, so the whole query is one linear scan + a constant.
+    * corpus size, so the whole query is two linear passes over the
+    * vectors (one feeding the heap, one probing the semi-join) + a
+    * constant.
     * `pair_count` is exact over the representative set (deterministic:
     * ids, not a random sample); labels with ≤ cap members — every label
     * at the oracle gate's sf0.01/sf0.1 — are profiled EXACTLY as
@@ -246,11 +281,37 @@ object NearDup {
     * assignment is a crossJoin against the BROADCAST centroid table
     * (L rows, L = cell count — at 100 TB this is the trained coarse
     * quantizer, thousands of rows, still broadcast-sized) + a
-    * per-vector argmax, linear end-to-end. The within-cluster
-    * self-join is the declared quadratic-per-cell SemDeDup cost,
-    * bounded in production by cell cap / sub-splitting exactly as
-    * [[embeddingNearDupByLabel]] documents. */
-  def semDedupKeep(emb: DataFrame, threshold: Double): DataFrame = {
+    * per-vector argmax, linear end-to-end.
+    *
+    * SCREEN IS CAPPED (r16 — the r15 verdict's last superlinear
+    * emitter: the raw within-cell self-join scored C(m,2) pairs per
+    * cell, 273.5 s / 2.43× per-row at the 100× fixture where cells
+    * hold ~20k members). Each vector is screened against at most
+    * `cap` per-cell REPRESENTATIVES — the cell's cap smallest-vec_id
+    * members, selected by the same bounded-heap
+    * [[graft.functions.Sketches.TopKAgg]] one-pass, map-side-partial
+    * pattern as [[embeddingNearDupByLabel]] (score = −vec_id), kept
+    * via a broadcast semi-join (≤ cells·cap id rows). The screen join
+    * then BROADCASTS the representative vectors (≤ cells·cap rows —
+    * the same trained-quantizer size argument as the centroid
+    * broadcast, one order larger; past that it degrades to the same
+    * shuffled equi-join on centroid) against the full assignment, so
+    * per-vector work is ≤ cap cosines: LINEAR in corpus size, no
+    * shuffle of the fact table at all.
+    *
+    * Semantics under the cap: representatives are the cap SMALLEST ids
+    * per cell, and the drop rule only consults ids smaller than the
+    * candidate — so every vector among its cell's first `cap` ids gets
+    * EXACTLY the uncapped verdict (any u < v for such v is itself a
+    * representative). Only vectors past the cap are screened against a
+    * prefix (the cap smallest) instead of all smaller ids — the
+    * SemDeDup-paper regime where cluster size is bounded at
+    * quantization time anyway. Cells at the oracle gates (sf0.01/0.1)
+    * sit far under the default cap, so the capped verdicts there are
+    * bit-identical to the uncapped ones; the oracle mirrors the cut
+    * with the same row_number-per-cell SQL regardless. */
+  def semDedupKeep(emb: DataFrame, threshold: Double,
+                   cap: Int = SemDedupCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = emb
       .select(col("label"), posexplode(col("embedding")))
@@ -280,11 +341,20 @@ object NearDup {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
       .localCheckpoint()
-    val a = best.select(col("centroid"), col("vec_id").as("id1"),
-      col("v").as("v1"), col("n2").as("n21"))
+    // screen a-side: the cap smallest-vec_id representatives per cell
+    // (bounded heap → broadcast semi-join, the embeddingNearDupByLabel
+    // machinery verbatim)
+    val reps = best.groupBy("centroid")
+      .agg(Sketches.topK(cap)(negate(col("vec_id").cast("double")),
+        col("vec_id")).as("keep"))
+      .select(col("centroid"), explode(col("keep")).as("r"))
+      .select(col("centroid"), col("r._2").as("vec_id"))
+    val a = best.join(broadcast(reps), Seq("centroid", "vec_id"), "left_semi")
+      .select(col("centroid"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("n2").as("n21"))
     val b = best.select(col("centroid"), col("vec_id").as("id2"),
       col("v").as("v2"), col("n2").as("n22"))
-    val dropped = a.join(b, Seq("centroid"))
+    val dropped = broadcast(a).join(b, Seq("centroid"))
       .filter(col("id1") < col("id2"))
       .filter(round(Similarity.dot(col("v1"), col("v2"))
         / (sqrt(col("n21")) * sqrt(col("n22"))), 6) >= threshold)
@@ -368,6 +438,64 @@ object NearDup {
           .as("j"))
       .filter(col("j") >= theta)
       .select(col("bid").as("doc_id")).distinct()
+  }
+
+  /** The exact prefix-filtered set-similarity SELF-join behind
+    * `simjoin_prefix` (see the registration comment for the method and
+    * the 100 TB posture), factored out so the 10×-tractable planted
+    * bound (`simjoin_prefix_bound`, r15 VERDICT task 6) runs the SAME
+    * pipeline it bounds. Returns (id1, id2, jaccard) with id1 < id2
+    * and jaccard ≥ theta. */
+  def simJoinPrefix(docs: DataFrame, theta: Double): DataFrame = {
+    // materialized once: sh feeds freq, the ranked prefix build, and
+    // BOTH verify-join sides — four plan branches that would each
+    // re-run tokenize+shingle+distinct otherwise (the
+    // vectorsAndPostings lesson)
+    val sh = docs
+      .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint()
+    val freq = sh.select(explode(col("s")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("f"))
+    // rarest-first canonical order per doc, then the prefix explode
+    val ranked = sh.select(col("doc_id"), explode(col("s")).as("g"))
+      .join(freq, "g")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
+        count(lit(1)).as("n"))
+    val pref = ranked.select(col("doc_id"),
+        explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
+          (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
+          .as("jaccard"))
+      .filter(col("jaccard") >= theta)
+  }
+
+  /** The X50 incremental screen's corpus/batch construction + survivor
+    * output, shared by `dedup_incremental_simjoin` and its
+    * 10×-tractable planted bound (r15 VERDICT task 6). Returns
+    * (corpus docs, batch docs, surviving batch doc_ids). */
+  def incrementalSimjoinParts(s: org.apache.spark.sql.SparkSession,
+                              d: String, theta: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val corpus = Tables.documents(s, d).filter(col("source") === "src1")
+      .select(col("doc_id"), col("text"))
+    val batch = withPlantedDups(corpus).filter(col("doc_id") >= 100000L)
+      .unionByName(Tables.documents(s, d).filter(col("source") === "src2")
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val screened = nearDupVerdicts(shingles3(corpus), shingles3(batch), theta)
+    val survivors = batch.select("doc_id").join(screened, Seq("doc_id"), "left_anti")
+    (corpus, batch, survivors)
   }
 
   /** Embeddings plus planted near-dups: for vec_id < 40, a copy under
@@ -491,14 +619,14 @@ object NearDup {
     // identical deterministic set (identical to the uncapped profile
     // at sf0.01/sf0.1, where the largest label holds 218 vectors).
     Q("embedding_near_dup_by_label",
-      """WITH v0 AS (
+      s"""WITH v0 AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
         |  FROM embeddings),
         |v AS (
         |  SELECT vec_id, label, v, n2 FROM (
         |    SELECT v0.*, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rep_rn
-        |    FROM v0) WHERE rep_rn <= 256),
+        |    FROM v0) WHERE rep_rn <= $ByLabelCap),
         |scored AS (
         |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
         |    round(list_inner_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
@@ -511,14 +639,18 @@ object NearDup {
         |SELECT label, CAST(pair_count AS BIGINT) AS pair_count,
         |  CAST(rnk AS INT) AS rnk, id1, id2, cos
         |FROM ranked WHERE rnk <= 8 ORDER BY label, rnk""".stripMargin) { (s, d) =>
-      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3, 8, 256).orderBy("label", "rnk")
+      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3, 8, ByLabelCap).orderBy("label", "rnk")
     },
     // X79 SemDeDup (fully oracled): centroid-quantized clusters →
     // within-cluster cosine pairs → id-minimal keeper per ≥τ
     // neighborhood. Emits the full keep/drop partition so the oracle
     // hashes assignment AND the screen, not just the survivor list.
+    // The screen's a-side is capped to each cell's SemDedupCap
+    // smallest-vec_id representatives (r16 — see semDedupKeep doc);
+    // the oracle mirrors the cut with the same row_number-per-cell
+    // SQL, interpolated from the one shared constant.
     Q("semdedup_keep",
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
         |  FROM embeddings),
@@ -543,15 +675,19 @@ object NearDup {
         |      round(list_inner_product(v, cv) / (sqrt(n2) * sqrt(cn2)), 6) AS ccos
         |    FROM v CROSS JOIN centn)
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid) = 1),
+        |reps AS (
+        |  SELECT centroid, vec_id, v, n2 FROM (
+        |    SELECT best.*, row_number() OVER (PARTITION BY centroid ORDER BY vec_id) AS rep_rn
+        |    FROM best) WHERE rep_rn <= $SemDedupCap),
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
-        |  FROM best a JOIN best b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+        |  FROM reps a JOIN best b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
         |  WHERE round(list_inner_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.3)
         |SELECT b.vec_id, CAST(b.centroid AS INT) AS centroid,
         |  (d.vec_id IS NULL) AS kept
         |FROM best b LEFT JOIN dropped d ON b.vec_id = d.vec_id
         |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
-      semDedupKeep(Tables.embeddings(s, d), 0.3).orderBy("vec_id")
+      semDedupKeep(Tables.embeddings(s, d), 0.3, SemDedupCap).orderBy("vec_id")
     },
     // Embedding-cosine near-dup via multi-table LSH over planted
     // perturbed copies (approximate; recall asserted in NearDupSpec).
@@ -662,14 +798,35 @@ object NearDup {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val (_, _, survivors) = incrementalSimjoinParts(s, d, 0.6)
+      survivors.orderBy("doc_id")
+    },
+
+    // X50 bound (r15 VERDICT task 6 — the 10× oracle excludes carried
+    // only a rationale, not a scaled signal): the screen is EXACT, so
+    // every planted batch doc (x+100000, an 80%-truncation of corpus
+    // doc x) whose exact trigram Jaccard to its ORIGIN is ≥ θ has a
+    // qualifying corpus neighbor by construction and MUST be screened
+    // out. Violations = qualifying planted docs that SURVIVED — an
+    // expected-empty table, linear at every scale (50 planted pairs +
+    // the linear screen itself), so it runs where the brute-force
+    // NOT-EXISTS oracle cannot (6M rows).
+    Q("dedup_incremental_simjoin_bound",
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS j
+        |WHERE false""".stripMargin) { (s, d) =>
       val theta = 0.6
-      val corpus = Tables.documents(s, d).filter(col("source") === "src1")
-        .select(col("doc_id"), col("text"))
-      val batch = withPlantedDups(corpus).filter(col("doc_id") >= 100000L)
-        .unionByName(Tables.documents(s, d).filter(col("source") === "src2")
-          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      val screened = nearDupVerdicts(shingles3(corpus), shingles3(batch), theta)
-      batch.select("doc_id").join(screened, Seq("doc_id"), "left_anti")
+      val (corpus, batch, survivors) = incrementalSimjoinParts(s, d, theta)
+      val bsh = shingles3(batch)
+      val csh = shingles3(corpus)
+      val planted = bsh.filter(col("doc_id") >= 100000L && col("doc_id") < 100050L)
+        .select(col("doc_id"), (col("doc_id") - 100000L).as("origin"), col("s").as("s1"))
+        .join(csh.select(col("doc_id").as("origin"), col("s").as("s2")), "origin")
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      planted.select(col("doc_id"),
+          round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
+            .as("j"))
+        .filter(col("j") >= theta)
+        .join(survivors, Seq("doc_id"), "left_semi")
         .orderBy("doc_id")
     },
 
@@ -717,42 +874,40 @@ object NearDup {
         |FROM pairs
         |WHERE round(CAST(li AS DOUBLE) / CAST(na + nb - li AS DOUBLE), 9) >= 0.6
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      simJoinPrefix(withPlantedDups(
+          Tables.documents(s, d).filter(col("source") === "src1")
+            .select(col("doc_id"), col("text"))), 0.6)
+        .orderBy("id1", "id2")
+    },
+
+    // X2+ bound (r15 VERDICT task 6, the second 10× oracle exclude):
+    // prefix filtering is EXACT — no false negatives — so every
+    // planted pair (x, x+100000) whose exact trigram Jaccard is ≥ θ
+    // MUST appear in simjoin_prefix's output. Violations = qualifying
+    // planted pairs MISSING from the output — expected-empty, linear
+    // at every scale (the pipeline itself + a 50-pair check), which is
+    // what lets the excluded brute-force oracle carry a scaled signal.
+    Q("simjoin_prefix_bound",
+      """SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+        |  CAST(NULL AS DOUBLE) AS jaccard
+        |WHERE false""".stripMargin) { (s, d) =>
       val theta = 0.6
       val docs = withPlantedDups(
         Tables.documents(s, d).filter(col("source") === "src1")
           .select(col("doc_id"), col("text")))
-      // materialized once: sh feeds freq, the ranked prefix build, and
-      // BOTH verify-join sides — four plan branches that would each
-      // re-run tokenize+shingle+distinct otherwise (the
-      // vectorsAndPostings lesson)
-      val sh = docs
-        .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
-        .filter(size(col("s")) > 0)
-        .localCheckpoint()
-      val freq = sh.select(explode(col("s")).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("f"))
-      // rarest-first canonical order per doc, then the prefix explode
-      val ranked = sh.select(col("doc_id"), explode(col("s")).as("g"))
-        .join(freq, "g")
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("f"), col("g")))).as("ord"),
-          count(lit(1)).as("n"))
-      val pref = ranked.select(col("doc_id"),
-          explode(slice(transform(col("ord"), x => x.getField("g")), lit(1),
-            (col("n") - ceil(lit(theta) * col("n")) + 1).cast("int"))).as("g"))
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
+      val out = simJoinPrefix(docs, theta)
+      val sh = shingles3(docs)
+      val planted = sh.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("id1"), col("s").as("s1"))
+        .join(sh.filter(col("doc_id") >= 100000L && col("doc_id") < 100050L)
+          .select((col("doc_id") - 100000L).as("id1"), col("doc_id").as("id2"),
+            col("s").as("s2")), "id1")
       val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
-      cand
-        .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
-        .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
-        .select(col("id1"), col("id2"),
+      planted.select(col("id1"), col("id2"),
           round(inter / ((size(col("s1")) + size(col("s2"))).cast("double") - inter), 9)
             .as("jaccard"))
         .filter(col("jaccard") >= theta)
+        .join(out.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_anti")
         .orderBy("id1", "id2")
     },
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.NearDup
+import graft.operators.{Clustering, NearDup}
 import graft.sources.Tables
 
 /** X75 candidate-count attribution probe (r14 VERDICT task 6):
@@ -55,6 +55,61 @@ object CalibProbe {
         f"pair_slots=${census.getAs[Long]("pair_slots")} " +
         f"kept_buckets=${census.getLong(0)} dropped_buckets=$dropped " +
         f"max_kept_bucket=${census.getAs[Long]("max_kept")} cap=${NearDup.maxBucket}")
+
+      // r15 VERDICT task 4a: simhash_near_dup_pairs growth attribution
+      // (220.6 s / 1.59x per-row at 100x — the adaptive cap's designed
+      // growth phase). Same census as above, over the SAME corpus the
+      // registered query runs (withPlantedDups), against the capEff
+      // model: candidates <= kept-bucket pair slots <= n*4*(capEff-1)/2.
+      val ssigs = NearDup.simhashSignatures(docs).localCheckpoint()
+      val sn = ssigs.count()
+      val capEff = NearDup.simhashCapEff(sn)
+      val sstats = NearDup.simhashChunkStats(ssigs).localCheckpoint()
+      val skept = sstats.filter(col("bucket_n") <= capEff)
+      val scensus = skept.agg(
+        count(lit(1)).as("kept"),
+        max(col("bucket_n")).as("max_kept"),
+        sum((col("bucket_n") * (col("bucket_n") - 1) / 2).cast("long")).as("pair_slots")).head()
+      val sdropped = sstats.count() - scensus.getLong(0)
+      val st0 = System.nanoTime()
+      // maxHamming=64 keeps every candidate pair — measures the join
+      // volume the hamming filter then prunes, i.e. the cost driver
+      val scand = NearDup.simhashPairs(docs, 64).count()
+      val ssecs = (System.nanoTime() - st0) / 1e9
+      println(f"[calib-simhash] dir=$d n_docs=$sn candidates=$scand ($ssecs%.1f s) " +
+        f"per_doc=${scand.toDouble / sn}%.2f " +
+        f"linear_bound_per_doc=${4L * (capEff - 1) / 2} " +
+        f"pair_slots=${scensus.getAs[Long]("pair_slots")} " +
+        f"kept_buckets=${scensus.getLong(0)} dropped_buckets=$sdropped " +
+        f"max_kept_bucket=${scensus.getAs[Long]("max_kept")} cap_eff=$capEff")
+
+      // r15 VERDICT task 4b: best_match_fuzzy growth attribution
+      // (112.6 s / 1.09x per-row at 100x — ~linear candidate
+      // densification from the copies fixture). The cost driver is the
+      // band-block join volume sum_b(odd_b * even_b); measured against
+      // the scored-row count the operator actually produces.
+      val bdocs = Tables.documents(spark, d)
+      val memb = Clustering.fingerprintBuckets(bdocs).localCheckpoint()
+      val bn = bdocs.count()
+      val bcensus = memb
+        .groupBy("bucket")
+        .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+        .agg(sum(col("odd") * col("even")).as("join_rows"),
+          max(col("odd") + col("even")).as("max_bucket"),
+          count(lit(1)).as("buckets")).head()
+      val bt0 = System.nanoTime()
+      val scored = memb.filter(col("doc_id") % 2 === 1)
+        .select(col("bucket"), col("doc_id").as("bdoc"))
+        .join(memb.filter(col("doc_id") % 2 === 0)
+          .select(col("bucket"), col("doc_id").as("cdoc")), "bucket")
+        .count()
+      val bsecs = (System.nanoTime() - bt0) / 1e9
+      println(f"[calib-bmf] dir=$d n_docs=$bn scored_rows=$scored ($bsecs%.1f s) " +
+        f"per_batch_doc=${scored.toDouble / math.max(1L, bn / 2)}%.2f " +
+        f"band_block_bound=${bcensus.getAs[Long]("join_rows")} " +
+        f"buckets=${bcensus.getAs[Long]("buckets")} " +
+        f"max_bucket=${bcensus.getAs[Long]("max_bucket")}")
     }
     spark.stop()
   }

@@ -130,6 +130,52 @@ class NearDupSpec extends AnyFunSuite {
     assert(cand <= n * NearDup.Bands * (NearDup.maxBucket - 1) / 2,
       s"$cand candidates exceed the linear-in-n cap bound")
   }
+  test("X8 candidate bound: simhash pair volume stays under the adaptive-cap linear model") {
+    // r15 VERDICT task 4a: simhash_near_dup_pairs' 100x growth (1.59x
+    // per-row) is the adaptive cap's designed growth phase — capEff =
+    // clamp(n/16, [64, 4096]) — and must stay under the same two-level
+    // model minhash is pinned to: distinct pairs can never exceed the
+    // kept buckets' summed pair slots, and per doc a kept bucket
+    // contributes <= capEff-1 partners across 4 chunks. CalibProbe
+    // prints the same counts per fixture as the round record.
+    val docs = NearDup.withPlantedDups(
+      sources.Tables.documents(spark, SparkTestSession.sf001))
+    val sigs = NearDup.simhashSignatures(docs).localCheckpoint()
+    val n = sigs.count()
+    val capEff = NearDup.simhashCapEff(n)
+    val slots = NearDup.simhashChunkStats(sigs)
+      .filter(col("bucket_n") <= capEff)
+      .agg(sum((col("bucket_n") * (col("bucket_n") - 1) / 2).cast("long")))
+      .head().getLong(0)
+    // maxHamming=64 keeps all candidates — the join volume IS the cost
+    val cand = NearDup.simhashPairs(docs, 64).count()
+    assert(cand <= slots, s"$cand candidates exceed $slots per-bucket pair slots")
+    assert(cand <= n * 4 * (capEff - 1) / 2,
+      s"$cand candidates exceed the linear-in-n capEff bound")
+  }
+  test("X53 candidate bound: best-match scored rows equal the band-block join volume") {
+    // r15 VERDICT task 4b: best_match_fuzzy's cost driver is the
+    // bucket-join row count, which by construction is exactly
+    // sum over buckets of |odd members| * |even members| — the
+    // measurable band-block model CalibProbe records per fixture. If
+    // the operator ever scored more rows than the blocks allow (e.g. a
+    // join-key regression widening to all-pairs), this breaks.
+    val docs = sources.Tables.documents(spark, SparkTestSession.sf001)
+    val memb = operators.Clustering.fingerprintBuckets(docs).localCheckpoint()
+    val blockVolume = memb
+      .groupBy("bucket")
+      .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+      .agg(sum(col("odd") * col("even")))
+      .head().getLong(0)
+    val scored = memb.filter(col("doc_id") % 2 === 1)
+      .select(col("bucket"), col("doc_id").as("bdoc"))
+      .join(memb.filter(col("doc_id") % 2 === 0)
+        .select(col("bucket"), col("doc_id").as("cdoc")), "bucket")
+      .count()
+    assert(scored == blockVolume,
+      s"scored $scored rows but the band blocks only allow $blockVolume")
+  }
   test("by-label profile: representative cap binds deterministically to the smallest vec_ids") {
     // One label, 6 identical vectors → uncapped profile scores C(6,2)=15
     // qualifying pairs. cap=3 must profile EXACTLY vec_ids {1,2,3}
@@ -145,6 +191,31 @@ class NearDupSpec extends AnyFunSuite {
       .select("pair_count", "id1", "id2").as[(Long, Long, Long)].collect()
     assert(capped.forall(_._1 == 3L) && capped.length == 3)
     assert(capped.flatMap(p => Seq(p._2, p._3)).toSet == Set(1L, 2L, 3L))
+  }
+  test("semdedup screen cap: verdicts for the first cap ids are exact, the tail is screened against representatives only") {
+    // One cell, 6 vectors: 1≡2 (e1), 3=e2, 4=e3, 5≡6 (e5) — pairwise
+    // orthogonal across groups, so at τ=0.5 the uncapped screen drops
+    // exactly {2, 6} (each has an identical smaller-id neighbor).
+    // cap=3 → representatives {1,2,3} (smallest ids, deterministic):
+    //  - ids ≤ cap keep their EXACT uncapped verdicts (any smaller id
+    //    is itself a representative): 2 still drops against 1;
+    //  - the tail is screened against representatives only: 6's dup 5
+    //    is not a representative, so 6 survives under the cap.
+    // cap ≥ cell size must be a no-op — the sf0.01/sf0.1 oracle gate
+    // relies on this (cells there sit far under the registered cap).
+    def e(i: Int): Array[Float] = {
+      val a = Array.fill(6)(0.0f); a(i) = 1.0f; a
+    }
+    val emb = Seq((1L, e(0)), (2L, e(0)), (3L, e(1)), (4L, e(2)),
+        (5L, e(4)), (6L, e(4)))
+      .map { case (id, v) => (id, "0", v) } // label int-castable: the centroid id
+      .toDF("vec_id", "label", "embedding")
+    def kept(cap: Int): Set[Long] =
+      NearDup.semDedupKeep(emb, 0.5, cap).filter(col("kept"))
+        .select("vec_id").as[Long].collect().toSet
+    assert(kept(6) == Set(1L, 3L, 4L, 5L), "uncapped: drop {2,6}")
+    assert(kept(3) == Set(1L, 3L, 4L, 5L, 6L),
+      "cap=3: 2 (a representative with a smaller-id rep dup) still drops; 6's dup 5 is past the cap, so 6 survives")
   }
 
   test("incremental near-dup screen: planted twins screened out, novel batch docs survive") {

@@ -192,6 +192,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"screen must be an equi-join:\n$p")
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       s"screen must ride the checkpointed assignment:\n$p")
+    // r16 (the r15 verdict's last superlinear emitter): the screen's
+    // a-side is the cell's cap smallest-vec_id representatives — the
+    // bounded heap must keep MAP-SIDE partials (partial_topkagg before
+    // the centroid exchange, the embeddingNearDupByLabel guarantee),
+    // and the representative vectors must BROADCAST into the screen
+    // join (per-vector work ≤ cap cosines; the fact table is never
+    // shuffled for the screen).
+    assert(p.contains("partial_topkagg"),
+      s"representative heap must fold map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"capped screen must broadcast the representatives:\n$p")
   }
 
   test("whole-stage codegen covers the scalar hot paths") {

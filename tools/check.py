@@ -56,26 +56,29 @@ def main(sf_dir, out_dir):
                   for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)}
 
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
-    # exclude: {name: rationale}. 'a=why||b=why' carries rationales;
-    # bare 'a,b' (the legacy shape) records an empty rationale. The
-    # separator is '||' because a prose rationale legitimately contains
-    # ';' and ',' (the r15 chain's rationales did, and a ';' split
-    # polluted the artifact with fragment keys); ';' is still accepted
-    # for compatibility but ONLY at a boundary that starts a new
-    # 'name=' entry (name = bare query-ident, no spaces).
+    # exclude: {name: rationale}. PREFERRED shape (r15 ADVICE: any
+    # in-band separator — ';', '||' — can legitimately appear in prose
+    # and then fragments the entries): a JSON object, detected by a
+    # leading '{'. round_final.sh passes this form. Legacy shapes stay
+    # accepted: 'a=why||b=why' ('||'-separated), ';' separation only at
+    # a boundary that starts a new 'name=' entry, and bare 'a,b' with
+    # empty rationales.
     raw_excl = os.environ.get("GRAFT_ORACLE_EXCLUDE", "")
     exclude = {}
-    if "=" in raw_excl:
-        parts = re.split(r"\|\|" if "||" in raw_excl
-                         else r";(?=\s*[A-Za-z0-9_]+\s*=)", raw_excl)
+    if raw_excl.strip().startswith("{"):
+        exclude = {str(k): str(v) for k, v in json.loads(raw_excl).items()}
     else:
-        parts = raw_excl.split(",")
-    for part in parts:
-        part = part.strip()
-        if not part:
-            continue
-        name, _, why = part.partition("=")
-        exclude[name.strip()] = why.strip()
+        if "=" in raw_excl:
+            parts = re.split(r"\|\|" if "||" in raw_excl
+                             else r";(?=\s*[A-Za-z0-9_]+\s*=)", raw_excl)
+        else:
+            parts = raw_excl.split(",")
+        for part in parts:
+            part = part.strip()
+            if not part:
+                continue
+            name, _, why = part.partition("=")
+            exclude[name.strip()] = why.strip()
 
     def run_oracle(sql):
         """Run one oracle SQL, interrupting after timeout_s (0 = never).

@@ -276,6 +276,53 @@ def test_touched_query_bypasses_drift_floor():
         assert code == 1 and "FLAG q1" in out, out
 
 
+def test_driver_tail_window_parse():
+    """Pin the Bench stdout contract that makes the DRIVER's
+    BENCH_r{N}.json parse succeed (r15 VERDICT task 3). The driver
+    extracts the metric JSON from a 2000-char stdout TAIL; the full
+    metric line (~6 KB at 225+ queries) never fits that window, which
+    is why `parsed` was null in EVERY round 1-15. Bench therefore
+    prints a second COMPACT summary line (no per-query map, <200
+    chars) immediately after the full one. This test rebuilds both
+    lines in Bench's exact formats plus the trailing sbt noise,
+    applies the 2000-char tail cut, and asserts a complete
+    {"metric": ...} object survives for BOTH plausible driver parses:
+    a reverse line scan with json.loads, and a first-{"metric"-brace
+    regex. If Bench's println format drifts (compact line dropped,
+    reordered after [success], or bloated past the window), this
+    fails before the driver does."""
+    import re
+    queries = {f"q{i:03d}_some_operator_name": round(0.1 + i * 0.003, 3)
+               for i in range(230)}
+    qs = "{" + ",".join(f'"{k}":{v}' for k, v in queries.items()) + "}"
+    total = round(sum(queries.values()), 3)
+    sf = "/root/testdata/sf0.1"
+    full = (f'{{"metric":"total","value":{total},"unit":"sec",'
+            f'"queries":{qs},"n_queries":{len(queries)},"sf":"{sf}"}}')
+    compact = (f'{{"metric":"total","value":{total},"unit":"sec",'
+               f'"n_queries":{len(queries)},"sf":"{sf}"}}')
+    assert len(full) > 2000, "pin is vacuous unless the full line overflows the window"
+    assert len(compact) < 200, f"compact line must stay tiny, got {len(compact)}"
+    stdout = (full + "\n" + compact + "\n"
+              + "[error] [bench] self-published /root/repo/./BENCH_SELF_r16.json\n"
+              + "[success] Total time: 825 s (13:45), completed Aug 16, 2026\n")
+    tail = stdout[-2000:]
+    # parse 1: reverse line scan, first json.loads that succeeds
+    parsed = None
+    for line in reversed(tail.splitlines()):
+        try:
+            obj = json.loads(line)
+            if isinstance(obj, dict) and "metric" in obj:
+                parsed = obj
+                break
+        except ValueError:
+            continue
+    assert parsed is not None and parsed["value"] == total, tail[-400:]
+    # parse 2: regex from the first '{"metric' in the tail to a line end
+    m = re.search(r'^\{"metric".*\}$', tail, re.M)
+    assert m is not None and json.loads(m.group(0))["n_queries"] == len(queries)
+
+
 ALL_TESTS = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
 
 if __name__ == "__main__":
