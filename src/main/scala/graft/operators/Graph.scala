@@ -181,10 +181,16 @@ object Graph {
         // namespaces are disjoint (low bit), so the reversed edges can
         // never collide with the forward ones — plain union, no dedup
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      }.localCheckpoint() // table scan → memory once; 3 rounds re-read blocks
+      }
+      // NO localCheckpoint on sym/deg (r16, measured): both are
+      // bucketed Indexes catalog tables, so each round's consumer is a
+      // parquet re-scan, not a recompute — and re-scanning beat the
+      // checkpoint's write-then-read materialization (sf1 TimeQ
+      // 6.02 → 5.55 s warm) while keeping the bucket layout visible to
+      // the planner (localCheckpoint erases it into an ExistingRDD).
       val deg = graft.Indexes.table(s, d, "trade_degrees", Seq("node")) {
         sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      }.localCheckpoint()
+      }
       val nn = deg.agg(count(lit(1)).as("nn")).localCheckpoint()
       // gate the per-round rank-table broadcast on the session's own
       // autoBroadcastJoinThreshold (the same knob every other join

