@@ -33,9 +33,10 @@ KNOWN_SUPERLINEAR = {
     # per-label representatives), so any >3x per-row growth there is a
     # real regression again.
     "embedding_near_dup_lsh", "simjoin_prefix",
-    # within-cluster screen over the fixture's `copies`-sized near-dup
-    # cells: the pair set (and so the cost) grows with copies², by design
-    "semdedup_keep",
+    # NOTE: semdedup_keep left this list in r16 — its within-cell screen
+    # is now capped at SemDedupCap smallest-id representatives per cell
+    # (<= cap cosines per vector; measured 0.04x per-row at 100x), so
+    # any >3x per-row growth there is a real regression again.
     "jaccard_adjacent", "cc_components", "cc_clusters", "cc_keep_best",
     "dedup_apply_keep_best", "best_match_fuzzy", "contamination_matrix",
     # all-corpus kNN graph: OUTPUT is linear (k edges/node) but the LSH
@@ -61,7 +62,7 @@ def main():
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     big, dbig = mins(big_path)
     small, _ = mins(small_path)
-    flagged, known, failed = [], [], []
+    flagged, known, failed, all_growth = [], [], [], []
     for name in sorted(big):
         tb, ts = big[name], small.get(name)
         if tb < 0:
@@ -72,6 +73,7 @@ def main():
         if tb < MIN_SEC * copies and ts < MIN_SEC:
             continue
         growth = tb / (copies * max(ts, 1e-3))
+        all_growth.append((name, ts, tb, growth))
         if growth > THRESHOLD:
             (known if name in KNOWN_SUPERLINEAR else flagged).append((name, ts, tb, growth))
     print(f"scale_growth: {big_path} ({dbig.get('n_queries')} queries, "
@@ -84,6 +86,14 @@ def main():
         print(f"  FLAG {name}: {ts:.3f}s -> {tb:.3f}s ({g:.2f}x per-row)")
     for name, ts, tb, g in sorted(known, key=lambda x: -x[3]):
         print(f"  known {name}: {ts:.3f}s -> {tb:.3f}s ({g:.2f}x per-row, output-superlinear)")
+    # top per-row table rides in the artifact unconditionally (r16: the
+    # judge-facing adjudication needed it hand-computed every round;
+    # ratio moves caused by a faster small-SF DENOMINATOR are invisible
+    # without the absolute times side by side)
+    print(f"  top per-row growth (informational, threshold {THRESHOLD}x):")
+    for name, ts, tb, g in sorted(all_growth, key=lambda x: -x[3])[:8]:
+        tag = " [known]" if name in KNOWN_SUPERLINEAR else ""
+        print(f"    {g:5.2f}x  {tb:8.1f}s  (small {ts:.3f}s)  {name}{tag}")
     sys.exit(1 if (flagged or failed) else 0)
 
 
