@@ -176,6 +176,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"only the two 1-row stats broadcasts may nest-loop, saw $bnlj")
   }
 
+  test("LSH pair miners: verification folds below the dedup exchange") {
+    // r16: est_jaccard/hamming are pure functions of the two
+    // signatures, so they are computed IN the bucket join (the filter
+    // lives in the join condition) and the pair-dedup exchange keys on
+    // the verified metric — it carries ~24 B survivors, never the
+    // signature payloads for every bucket collision. The exchange term
+    // is what grows with bucket densification at 100×, so this shape
+    // IS the scale guarantee.
+    val ph = plan("simhash_near_dup_pairs")
+    assert(ph.matches("(?s).*hashpartitioning\\(id1#\\d+L?, id2#\\d+L?, hamming.*"),
+      s"simhash dedup exchange must key on (id1, id2, hamming):\n$ph")
+    assert(!ph.matches("(?s).*hashpartitioning\\([^)]*s1#.*"),
+      "simhash signature payloads must not cross the dedup exchange")
+    val pm = plan("minhash_near_dup_pairs")
+    // the double key rides inside knownfloatingpointnormalized(...) in
+    // the agg/exchange keys — match it anywhere in the third key slot
+    assert(pm.matches("(?s).*HashAggregate\\(keys=\\[id1#\\d+L, id2#\\d+L, [^\\]]*est_jaccard.*"),
+      s"minhash dedup must key on (id1, id2, est_jaccard):\n$pm")
+    assert(!pm.matches("(?s).*hashpartitioning\\([^)]*s1#.*"),
+      "minhash signature arrays must not cross the dedup exchange")
+  }
+
   test("semdedup: assignment materialized once, screen and verdict are keyed joins") {
     val p = plan("semdedup_keep")
     // the N×L centroid fan-out + argmax is checkpointed ONCE before its
