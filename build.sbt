@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` stdout lands UNDECORATED (r16 VERDICT task 2,
+// root-caused from BENCH_r16.json's literal tail bytes): sbt's default
+// LoggedOutput prefixes every forked-run line with "[info] ", so the
+// driver's BENCH_r{N}.json tail-parse — which needs a bare JSON line —
+// returned null for 16 straight rounds even once the compact metric
+// line fit the 2000-char window. StdoutOutput pipes the forked JVM's
+// stdout/stderr straight through. Scoped to the run task only (runMain
+// shares run's runner, verified by sbt's own lintUnused on a
+// runMain-scoped copy + the StdoutProbe main): Test delegates
+// Test→Runtime→Compile, and test output should keep its [info]
+// framing. Pinned (with the literal r16 tail as fixture) in
+// tools/test_bench_guard.py.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

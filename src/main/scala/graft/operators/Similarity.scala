@@ -223,9 +223,11 @@ object Similarity {
   def knnGraph(emb: DataFrame, k: Int,
                nPlanes: Int = 6, nTables: Int = 24, seed: Long = 42L,
                idx: Option[(org.apache.spark.sql.SparkSession, String)] = None,
-               occTarget: Int = 32, bucketCap: Int = 1024): DataFrame = {
+               occTarget: Int = 32, bucketCap: Int = 1024,
+               corpusTag: String = "emb"): DataFrame = {
     val nPlanesEff = knnPlanesFor(emb.count(), nPlanes, occTarget)
-    val (v, postings) = vectorsAndPostings(emb, nPlanesEff, nTables, seed, idx)
+    val (v, postings) =
+      vectorsAndPostings(emb, nPlanesEff, nTables, seed, idx, corpusTag)
     // The joined (posting, vector) table is itself a persisted Indexes
     // artifact BUCKETED ON THE SELF-JOIN KEYS (r16, measured): the
     // prior localCheckpoint re-ran the postings⋈vectors join per query
@@ -235,11 +237,13 @@ object Similarity {
     // co-partitioned buckets — sf1 TimeQ 5.70 → 4.23-4.78 s, shared
     // with knn_graph_bound which audits the same graph. Size is
     // |corpus|·nTables vector rows on disk — the standard price of a
-    // posting-with-payload ANN index.
+    // posting-with-payload ANN index. corpusTag rides in the name (r16
+    // ADVICE): the config triple alone would let two different corpora
+    // sharing (planes, tables, seed) adopt each other's cached join.
     val pv = idx match {
       case Some((s, d)) =>
         graft.Indexes.table(s, d,
-          s"knn_pv_p${nPlanesEff}_t${nTables}_s$seed", Seq("lsh_t", "lsh_sig")) {
+          s"knn_pv_${corpusTag}_p${nPlanesEff}_t${nTables}_s$seed", Seq("lsh_t", "lsh_sig")) {
           postings.join(v, "vec_id")
         }
       case None => postings.join(v, "vec_id").localCheckpoint()

@@ -27,8 +27,15 @@ echo "=== [0/9] adopt previous round's driver-written records ==="
 # the builder's last commit, so they can sit untracked at round open
 # (r15 VERDICT task 2). Adopt them structurally: stage and commit ONLY
 # those paths if any are new/modified, before this round's chain runs.
-git add -- 'BENCH_r'*.json 'CORRECTNESS_r'*.json 'BENCH_SELF_r'*.json \
-  LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md 2>/dev/null || true
+# Per-path guarded adds (r16 ADVICE): a single git add with any
+# non-matching pathspec aborts rc=128 staging NOTHING — silently
+# re-creating the untracked-records problem this step exists to fix.
+for f in BENCH_r*.json CORRECTNESS_r*.json BENCH_SELF_r*.json \
+  LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md; do
+  # explicit if, not `[ -e ] &&`: under set -e a trailing failed
+  # short-circuit in the loop body would abort the whole chain
+  if [ -e "$f" ]; then git add -- "$f"; fi
+done
 if ! git diff --cached --quiet; then
   git commit -m "Adopt previous round's driver-written records"
 else

@@ -323,6 +323,71 @@ def test_driver_tail_window_parse():
     assert m is not None and json.loads(m.group(0))["n_queries"] == len(queries)
 
 
+# The LITERAL final 600 chars of BENCH_r16.json's captured stdout tail
+# (copied verbatim from the driver artifact, commit 0734c9d) — the
+# evidence base for the r17 parse fix. The compact metric line IS
+# inside the 2000-char window, but sbt's default LoggedOutput decorates
+# every forked-run line with "[info] " (stderr with "[error] "), so no
+# line is bare JSON and every plausible parser returns null.
+R16_LITERAL_TAIL = (
+    '_nucleus":0.486,"vocab_oov":0.549,"weighted_sample":0.316,'
+    '"window_analytic":0.517,"window_distribution":0.866,'
+    '"window_distribution_orders":0.588,"window_ntile":0.821,'
+    '"window_ranking":0.98,"window_running":1.028,'
+    '"window_topk_per_group":0.478,"word_count":0.231,"zipf_fit":0.312,'
+    '"zorder_keys":0.355,"zorder_layout":0.425},"n_queries":227,'
+    '"sf":"/root/testdata/sf0.1"}\n'
+    '[info] {"metric":"total","value":169.56,"unit":"sec",'
+    '"n_queries":227,"sf":"/root/testdata/sf0.1"}\n'
+    '[error] [bench] self-published /root/repo/./BENCH_SELF_r16.json\n'
+    '[success] Total time: 973 s (16:13), completed Aug 16, 2026, 12:15:33 PM\n'
+)
+
+
+def _tail_parsers(tail):
+    """The two plausible driver parses the r15/r16 pins modeled:
+    (1) reverse line scan, first json.loads dict with 'metric';
+    (2) first ^{"metric"...}$ line-anchored regex match."""
+    import re
+    by_scan = None
+    for line in reversed(tail.splitlines()):
+        try:
+            obj = json.loads(line)
+            if isinstance(obj, dict) and "metric" in obj:
+                by_scan = obj
+                break
+        except ValueError:
+            continue
+    m = re.search(r'^\{"metric".*\}$', tail, re.M)
+    by_regex = json.loads(m.group(0)) if m else None
+    return by_scan, by_regex
+
+
+def test_r16_literal_tail_explains_null_and_fix_restores_parse():
+    """r16 VERDICT task 2: test against the OBSERVED bytes, not an
+    assumed parser. On the literal r16 tail both plausible parsers
+    return null — the compact line fits the window but carries sbt's
+    '[info] ' LoggedOutput prefix, which is the root cause of 16
+    rounds of "parsed": null (truncation was disproven in r16). The
+    r17 fix (build.sbt `Compile / run / outputStrategy :=
+    Some(StdoutOutput)`, verified live via graft.StdoutProbe) removes
+    exactly that decoration; the same tail minus the [info]/[error]
+    prefixes — byte-for-byte what the fixed binary emits — parses
+    under BOTH parsers."""
+    tail = R16_LITERAL_TAIL[-2000:]
+    by_scan, by_regex = _tail_parsers(tail)
+    assert by_scan is None and by_regex is None, (
+        "the r16 tail should NOT parse — if it does, the null came "
+        "from somewhere else and the StdoutOutput theory is wrong too")
+    # what the identical run emits once forked stdout is undecorated:
+    fixed = "".join(
+        line[len("[info] "):] + "\n" if line.startswith("[info] {") else line + "\n"
+        for line in R16_LITERAL_TAIL.splitlines())
+    by_scan, by_regex = _tail_parsers(fixed[-2000:])
+    assert by_scan is not None and by_scan["value"] == 169.56, fixed[-400:]
+    assert by_regex is not None and by_regex["n_queries"] == 227
+
+
 ALL_TESTS = [v for k, v in sorted(globals().items()) if k.startswith("test_")]
 
 if __name__ == "__main__":
