@@ -219,9 +219,10 @@ object NearDup {
     * label is profiled over its `cap` smallest-vec_id REPRESENTATIVES:
     * a bounded-heap agg (the same [[graft.functions.Sketches.TopKAgg]]
     * contract, score = −vec_id) selects them in one O(n·cap) streaming
-    * pass with map-side partials, and a broadcast semi-join (labels·cap
-    * rows) keeps their vectors — never a per-label window sort over the
-    * fact table. Pair scoring is then ≤ labels·cap²/2 regardless of
+    * pass with map-side partials, and a size-gated broadcast semi-join
+    * (labels·cap id rows; [[Hints.broadcastIfEstimated]] withholds the
+    * hint past the session threshold) keeps their vectors — never a
+    * per-label window sort over the fact table. Pair scoring is then ≤ labels·cap²/2 regardless of
     * corpus size, so the whole query is two linear passes over the
     * vectors (one feeding the heap, one probing the semi-join) + a
     * constant.
@@ -241,7 +242,17 @@ object NearDup {
         col("vec_id")).as("keep"))
       .select(col("label"), explode(col("keep")).as("r"))
       .select(col("label"), col("r._2").as("vec_id"))
-    val v = v0.join(broadcast(reps), Seq("label", "vec_id"), "left_semi")
+      // materialized once: the size gate below needs a count, and the
+      // heap output (≤ labels·cap id rows) should not re-run for it
+      .localCheckpoint()
+    // SIZE-GATED broadcast (r16 VERDICT task 1): labels·cap id rows is
+    // broadcast-sized at any plausible label cardinality, but the hint
+    // was unconditional — at a 50k-label corpus it is ~12.8M rows, and
+    // the gate (the pagerank convention) lets it degrade to a shuffled
+    // semi-join instead of forcing the broadcast.
+    val v = v0.join(
+      Hints.broadcastIfEstimated(reps, reps.count() * 32L),
+      Seq("label", "vec_id"), "left_semi")
     val a = v.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
     val b = v.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
     a.join(b, Seq("label"))
@@ -314,13 +325,18 @@ object NearDup {
     * members, selected by the same bounded-heap
     * [[graft.functions.Sketches.TopKAgg]] one-pass, map-side-partial
     * pattern as [[embeddingNearDupByLabel]] (score = −vec_id), kept
-    * via a broadcast semi-join (≤ cells·cap id rows). The screen join
-    * then BROADCASTS the representative vectors (≤ cells·cap rows —
-    * the same trained-quantizer size argument as the centroid
-    * broadcast, one order larger; past that it degrades to the same
-    * shuffled equi-join on centroid) against the full assignment, so
-    * per-vector work is ≤ cap cosines: LINEAR in corpus size, no
-    * shuffle of the fact table at all.
+    * via a SIZE-GATED broadcast semi-join (≤ cells·cap id rows). The
+    * screen join feeds the representative vectors (≤ cells·cap rows)
+    * against the full assignment through the same gate
+    * ([[Hints.broadcastIfEstimated]], r16 VERDICT task 1): under the
+    * session's autoBroadcastJoinThreshold the rep side broadcasts and
+    * the fact table is never shuffled for the screen; past it — the
+    * SemDeDup-paper 50k-cluster regime puts cells·cap full vectors at
+    * ~6.8 GB — the hint is withheld and the planner runs the identical
+    * shuffled equi-join on centroid instead of OOMing a forced
+    * broadcast. Either way per-vector work is ≤ cap cosines: LINEAR in
+    * corpus size. Both branches are hash-exact (NearDupSpec forces the
+    * fallback with a floor threshold and compares).
     *
     * Semantics under the cap: representatives are the cap SMALLEST ids
     * per cell, and the drop rule only consults ids smaller than the
@@ -334,50 +350,73 @@ object NearDup {
     * bit-identical to the uncapped ones; the oracle mirrors the cut
     * with the same row_number-per-cell SQL regardless. */
   def semDedupKeep(emb: DataFrame, threshold: Double,
-                   cap: Int = SemDedupCap): DataFrame = {
+                   cap: Int = SemDedupCap,
+                   idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"),
-        col("col").cast("double").cast("decimal(38,12)").as("x"))
-      .groupBy("label", "pos")
-      .agg(round(sum(col("x")).cast("double") / count(lit(1)), 9).as("c"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
-      .select(col("label").cast("int").as("centroid"), col("cv"),
-        Similarity.norm2(col("cv")).as("cn2"))
-    val v = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", Similarity.norm2(col("v")))
-    val byBest = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid"))
+    def buildBest: DataFrame = {
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          col("col").cast("double").cast("decimal(38,12)").as("x"))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 9).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .select(col("label").cast("int").as("centroid"), col("cv"),
+          Similarity.norm2(col("cv")).as("cn2"))
+      val v = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", Similarity.norm2(col("v")))
+      val byBest = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("centroid"))
+      v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("n2"), col("centroid"),
+          round(Similarity.dot(col("v"), col("cv"))
+            / (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("ccos"))
+        .withColumn("rn", row_number().over(byBest))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
+    }
     // Materialized ONCE (the Graph.scala convention): three consumers
     // below (both sides of the screen self-join + the verdict join)
     // would otherwise each recompute the N×L fan-out and argmax —
     // PlanAuditSpec pins the final plan at zero nested-loop joins.
-    val best = v.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("n2"), col("centroid"),
-        round(Similarity.dot(col("v"), col("cv"))
-          / (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("ccos"))
-      .withColumn("rn", row_number().over(byBest))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
-      .localCheckpoint()
+    // With `idx` set (the registry path) the assignment persists as a
+    // bucketed-on-centroid [[graft.Indexes]] artifact instead of a
+    // localCheckpoint (r16 VERDICT task 3 — the knn_pv lesson: a
+    // checkpoint pins a corpus-sized vector table in executor memory at
+    // 100 TB, and erases the bucket layout the reps groupBy and the
+    // shuffled screen fallback both key on).
+    val best = idx match {
+      case Some((s, d)) =>
+        graft.Indexes.table(s, d, "semdedup_best", Seq("centroid"))(buildBest)
+      case None => buildBest.localCheckpoint()
+    }
+    // Gate sizing off the materialized assignment (one single-pass agg,
+    // map-side partials): rep rows ≤ cells·cap, id rows ~32 B, vector
+    // rows ~dim·8+48 B — upper bounds, so the gate degrades EARLY.
+    val st = best.agg(countDistinct(col("centroid")).as("nc"),
+      max(size(col("v"))).as("dim")).head()
+    val nCells = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val dim = if (st.isNullAt(1)) 0L else st.getInt(1).toLong
     // screen a-side: the cap smallest-vec_id representatives per cell
-    // (bounded heap → broadcast semi-join, the embeddingNearDupByLabel
-    // machinery verbatim)
+    // (bounded heap → size-gated broadcast semi-join, the
+    // embeddingNearDupByLabel machinery verbatim)
     val reps = best.groupBy("centroid")
       .agg(Sketches.topK(cap)(negate(col("vec_id").cast("double")),
         col("vec_id")).as("keep"))
       .select(col("centroid"), explode(col("keep")).as("r"))
       .select(col("centroid"), col("r._2").as("vec_id"))
-    val a = best.join(broadcast(reps), Seq("centroid", "vec_id"), "left_semi")
+    val a = best.join(
+        Hints.broadcastIfEstimated(reps, nCells * cap * 32L),
+        Seq("centroid", "vec_id"), "left_semi")
       .select(col("centroid"), col("vec_id").as("id1"),
         col("v").as("v1"), col("n2").as("n21"))
     val b = best.select(col("centroid"), col("vec_id").as("id2"),
       col("v").as("v2"), col("n2").as("n22"))
-    val dropped = broadcast(a).join(b, Seq("centroid"))
+    val dropped = Hints.broadcastIfEstimated(a, nCells * cap * (dim * 8L + 48L))
+      .join(b, Seq("centroid"))
       .filter(col("id1") < col("id2"))
       .filter(round(Similarity.dot(col("v1"), col("v2"))
         / (sqrt(col("n21")) * sqrt(col("n22"))), 6) >= threshold)
@@ -710,7 +749,8 @@ object NearDup {
         |  (d.vec_id IS NULL) AS kept
         |FROM best b LEFT JOIN dropped d ON b.vec_id = d.vec_id
         |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
-      semDedupKeep(Tables.embeddings(s, d), 0.3, SemDedupCap).orderBy("vec_id")
+      semDedupKeep(Tables.embeddings(s, d), 0.3, SemDedupCap,
+        idx = Some((s, d))).orderBy("vec_id")
     },
     // Embedding-cosine near-dup via multi-table LSH over planted
     // perturbed copies (approximate; recall asserted in NearDupSpec).

@@ -218,6 +218,47 @@ class NearDupSpec extends AnyFunSuite {
       "cap=3: 2 (a representative with a smaller-id rep dup) still drops; 6's dup 5 is past the cap, so 6 survives")
   }
 
+  test("broadcast gates: rep-side hints are withheld under a floor threshold, both branches hash-exact") {
+    // r16 VERDICT task 1: semDedupKeep/embeddingNearDupByLabel hard-
+    // broadcast a representative side that grows as cells·cap — the
+    // hint is now size-gated on autoBroadcastJoinThreshold (the
+    // pagerank convention). Exercise BOTH branches (the SkewSpec
+    // branch-switch pattern): default threshold → the screen
+    // broadcasts; a 64-byte floor → every rep estimate exceeds it, the
+    // hint is withheld, the planner runs the identical shuffled
+    // equi-join, and the output is row-identical.
+    def e(i: Int): Array[Float] = { val a = Array.fill(6)(0.0f); a(i) = 1.0f; a }
+    val emb = Seq((1L, "0", e(0)), (2L, "0", e(0)), (3L, "0", e(1)),
+        (4L, "1", e(2)), (5L, "1", e(4)), (6L, "1", e(4)))
+      .toDF("vec_id", "label", "embedding")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val semBc = NearDup.semDedupKeep(emb, 0.5, 3)
+    assert(plan(semBc).contains("BroadcastHashJoin"),
+      "default threshold: the capped screen broadcasts the representatives")
+    val semRows = semBc.orderBy("vec_id").collect().toSeq
+    val byBc = NearDup.embeddingNearDupByLabel(emb, 0.5, 8, 3)
+    assert(plan(byBc).contains("BroadcastHashJoin"))
+    val byRows = byBc.orderBy("label", "rnk").collect().toSeq
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try {
+      val sem = NearDup.semDedupKeep(emb, 0.5, 3)
+      val p = plan(sem)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"floor threshold: no hash-broadcast may survive (the quantizer BNLJ is the one allowed hint):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"the screen must degrade to a shuffled equi-join:\n$p")
+      assert(sem.orderBy("vec_id").collect().toSeq == semRows,
+        "semdedup fallback branch must be row-identical")
+      val by = NearDup.embeddingNearDupByLabel(emb, 0.5, 8, 3)
+      val pb = plan(by)
+      assert(!pb.contains("BroadcastHashJoin"), pb)
+      assert(by.orderBy("label", "rnk").collect().toSeq == byRows,
+        "by-label fallback branch must be row-identical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("incremental near-dup screen: planted twins screened out, novel batch docs survive") {
     // dedup_incremental_simjoin is oracled in the driver gate; this
     // pins the SEMANTIC shape in-repo at sf0.001: every 80%-truncated

@@ -200,31 +200,37 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("semdedup: assignment materialized once, screen and verdict are keyed joins") {
     val p = plan("semdedup_keep")
-    // the N×L centroid fan-out + argmax is checkpointed ONCE before its
+    // the N×L centroid fan-out + argmax is materialized ONCE before its
     // three consumers — the final plan must read the materialized
     // assignment (no nested-loop join may survive into it; an
-    // un-checkpointed `best` showed up as THREE BroadcastNestedLoopJoin
+    // un-materialized `best` showed up as THREE BroadcastNestedLoopJoin
     // subtrees, recomputing the assignment per consumer)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"assignment fan-out leaked into the final plan:\n$p")
     assert(!p.contains("CartesianProduct"), "no cartesian")
     // the within-cell screen (on centroid) and the keep/drop verdict
-    // (on vec_id) are keyed equi-joins over the checkpointed assignment
+    // (on vec_id) are keyed equi-joins over the materialized assignment
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"screen must be an equi-join:\n$p")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"screen must ride the checkpointed assignment:\n$p")
+    // r17 (r16 VERDICT task 3, the knn_pv lesson): the assignment is a
+    // persisted bucketed-on-centroid Indexes artifact, not a
+    // localCheckpoint — a checkpoint pinned a corpus-sized vector table
+    // in executor memory and erased the layout the reps groupBy keys on
+    assert(p.contains("semdedup_best"),
+      s"screen must ride the persisted bucketed assignment artifact:\n$p")
     // r16 (the r15 verdict's last superlinear emitter): the screen's
     // a-side is the cell's cap smallest-vec_id representatives — the
     // bounded heap must keep MAP-SIDE partials (partial_topkagg before
     // the centroid exchange, the embeddingNearDupByLabel guarantee),
-    // and the representative vectors must BROADCAST into the screen
-    // join (per-vector work ≤ cap cosines; the fact table is never
-    // shuffled for the screen).
+    // and at this fixture scale the representative vectors BROADCAST
+    // into the screen join (per-vector work ≤ cap cosines; the fact
+    // table is never shuffled for the screen). The hint is SIZE-GATED
+    // (r16 VERDICT task 1) — the shuffled fallback branch is pinned
+    // hash-exact in NearDupSpec under a floor threshold.
     assert(p.contains("partial_topkagg"),
       s"representative heap must fold map-side:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"capped screen must broadcast the representatives:\n$p")
+      s"capped screen must broadcast the representatives at fixture scale:\n$p")
   }
 
   test("whole-stage codegen covers the scalar hot paths") {
