@@ -54,7 +54,7 @@ object Bench {
     r
   }
 
-  private def session(): SparkSession = {
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

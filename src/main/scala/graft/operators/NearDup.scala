@@ -36,6 +36,18 @@ object NearDup {
     * [[ByLabelCap]]. */
   val SemDedupCap = 256
 
+  /** Broadcast-gate sizing per semdedup_best artifact (cells, dim):
+    * the artifact is immutable per fixture (its name folds in the
+    * input fingerprint), so the sizing probes run once per JVM, not
+    * once per query rep. */
+  private val semSizing =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** [[embeddingNearDupByLabel]]'s broadcast-gate label count, memoized
+    * per fixture dir (registry path only — direct calls re-count). */
+  private val labelCount =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Per-doc MinHash signature: explode distinct 3-token shingles,
     * hash each under K fixed seeds, element-wise min via the
     * [[Sketches.MinHashAgg]] UDAF. One shuffle (groupBy doc). */
@@ -233,7 +245,8 @@ object NearDup {
     * [[semDedupKeep]]/[[embeddingNearDupLsh]], whose cells are sized by
     * construction. */
   def embeddingNearDupByLabel(emb: DataFrame, threshold: Double, k: Int,
-                              cap: Int): DataFrame = {
+                              cap: Int,
+                              idx: Option[(org.apache.spark.sql.SparkSession, String)] = None): DataFrame = {
     val v0 = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", Similarity.norm2(col("v")))
@@ -242,16 +255,22 @@ object NearDup {
         col("vec_id")).as("keep"))
       .select(col("label"), explode(col("keep")).as("r"))
       .select(col("label"), col("r._2").as("vec_id"))
-      // materialized once: the size gate below needs a count, and the
-      // heap output (≤ labels·cap id rows) should not re-run for it
-      .localCheckpoint()
     // SIZE-GATED broadcast (r16 VERDICT task 1): labels·cap id rows is
     // broadcast-sized at any plausible label cardinality, but the hint
     // was unconditional — at a 50k-label corpus it is ~12.8M rows, and
     // the gate (the pagerank convention) lets it degrade to a shuffled
-    // semi-join instead of forcing the broadcast.
+    // semi-join instead of forcing the broadcast. The estimate reads
+    // ONE pruned column (labels·cap bounds the heap output; an earlier
+    // checkpoint-and-count of the heap itself cost ~0.4 s/rep at sf1)
+    // and is memoized per fixture dir on the registry path.
+    def countLabels(): Long =
+      emb.agg(countDistinct(col("label"))).head().getLong(0)
+    val nLabels = idx match {
+      case Some((_, d)) => labelCount.computeIfAbsent(d, _ => countLabels())
+      case None => countLabels()
+    }
     val v = v0.join(
-      Hints.broadcastIfEstimated(reps, reps.count() * 32L),
+      Hints.broadcastIfEstimated(reps, nLabels * cap * 32L),
       Seq("label", "vec_id"), "left_semi")
     val a = v.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"), col("n2").as("n21"))
     val b = v.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"), col("n2").as("n22"))
@@ -365,18 +384,22 @@ object NearDup {
           s => s.getField("c")).as("cv"))
         .select(col("label").cast("int").as("centroid"), col("cv"),
           Similarity.norm2(col("cv")).as("cn2"))
-      val v = emb.select(col("vec_id"),
+      val v = emb.select(col("vec_id"), col("embedding").as("vf"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("n2", Similarity.norm2(col("v")))
       val byBest = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("centroid"))
+      // the stored vector is the SOURCE (float) array, not the double
+      // cast the math runs on: float→double is exact, so casting back
+      // on read reproduces bit-identical doubles at half the scan
+      // bytes — the screen re-reads this column twice per query
       v.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("n2"), col("centroid"),
+        .select(col("vec_id"), col("vf"), col("v"), col("n2"), col("centroid"),
           round(Similarity.dot(col("v"), col("cv"))
             / (sqrt(col("n2")) * sqrt(col("cn2"))), 6).as("ccos"))
         .withColumn("rn", row_number().over(byBest))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("centroid"), col("v"), col("n2"))
+        .select(col("vec_id"), col("centroid"), col("vf"), col("n2"))
     }
     // Materialized ONCE (the Graph.scala convention): three consumers
     // below (both sides of the screen self-join + the verdict join)
@@ -388,18 +411,31 @@ object NearDup {
     // checkpoint pins a corpus-sized vector table in executor memory at
     // 100 TB, and erases the bucket layout the reps groupBy and the
     // shuffled screen fallback both key on).
-    val best = idx match {
+    val best = (idx match {
       case Some((s, d)) =>
         graft.Indexes.table(s, d, "semdedup_best", Seq("centroid"))(buildBest)
       case None => buildBest.localCheckpoint()
+    }).select(col("vec_id"), col("centroid"),
+      col("vf").cast("array<double>").as("v"), col("n2"))
+    // Gate sizing off the materialized assignment: rep rows ≤
+    // cells·cap, id rows ~32 B, vector rows ~dim·8+48 B — upper
+    // bounds, so the gate degrades EARLY. The probes are deliberately
+    // cheap (a pruned one-column distinct count + a limit-1 dim read;
+    // one agg over both columns measurably dragged the whole query
+    // 1.37→2.10 s at sf1 by scanning the vector column per rep) and
+    // memoized per artifact — warm reps run zero sizing jobs.
+    def measureSizing(): (Long, Long) = {
+      val nc = best.agg(countDistinct(col("centroid"))).head().getLong(0)
+      val d = best.select(size(col("v")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+      (nc, d)
     }
-    // Gate sizing off the materialized assignment (one single-pass agg,
-    // map-side partials): rep rows ≤ cells·cap, id rows ~32 B, vector
-    // rows ~dim·8+48 B — upper bounds, so the gate degrades EARLY.
-    val st = best.agg(countDistinct(col("centroid")).as("nc"),
-      max(size(col("v"))).as("dim")).head()
-    val nCells = if (st.isNullAt(0)) 0L else st.getLong(0)
-    val dim = if (st.isNullAt(1)) 0L else st.getInt(1).toLong
+    val (nCells, dim) = idx match {
+      case Some((_, d)) => semSizing.computeIfAbsent(
+        graft.Indexes.tableName(d, "semdedup_best"),
+        _ => measureSizing())
+      case None => measureSizing()
+    }
     // screen a-side: the cap smallest-vec_id representatives per cell
     // (bounded heap → size-gated broadcast semi-join, the
     // embeddingNearDupByLabel machinery verbatim)
@@ -701,7 +737,8 @@ object NearDup {
         |SELECT label, CAST(pair_count AS BIGINT) AS pair_count,
         |  CAST(rnk AS INT) AS rnk, id1, id2, cos
         |FROM ranked WHERE rnk <= 8 ORDER BY label, rnk""".stripMargin) { (s, d) =>
-      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3, 8, ByLabelCap).orderBy("label", "rnk")
+      embeddingNearDupByLabel(Tables.embeddings(s, d), 0.3, 8, ByLabelCap,
+        idx = Some((s, d))).orderBy("label", "rnk")
     },
     // X79 SemDeDup (fully oracled): centroid-quantized clusters →
     // within-cluster cosine pairs → id-minimal keeper per ≥τ

@@ -110,6 +110,14 @@ require_nonempty "CORRECTNESS_10x_r${R}.json" "CORRECTNESS_10x_r${R}.txt"
 echo "=== [7/9] 100x full-registry stress, reps=1 ==="
 rm -rf /tmp/vout_10x /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
 df -h /tmp | tail -1
+# Pre-build the persisted index artifacts with the build attributed in
+# its OWN artifact (r16 VERDICT task 4): the reps=1 stress bench then
+# measures steady-state query cost only, and SCALE100_BUILD records
+# first-vs-steady per index-backed query (first >> steady = the build).
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_DRIVER_MEM=16g \
+  sbt "runMain graft.IndexWarm" 2>/dev/null | grep -o '{"query".*' \
+  | tee "SCALE100_BUILD_r${R}.txt"
+require_nonempty "SCALE100_BUILD_r${R}.txt"
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_BENCH_REPS=1 SPARK_DRIVER_MEM=16g \
   GRAFT_BENCH_OUT="SCALE100_r${R}.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
@@ -127,7 +135,8 @@ git add -- BENCH_CANON.json \
   "BENCH_SELF_r${R}_sf01.json" "BENCH_GUARD_r${R}.txt" \
   "BENCH_SELF_r${R}_sf1.json" "BENCH_GUARD_r${R}_sf1.txt" \
   "CORRECTNESS_10x_r${R}.json" "CORRECTNESS_10x_r${R}.txt" \
-  "SCALE100_r${R}.json" "SCALE_GROWTH_r${R}.txt" "SCALE100_r${R}.txt"
+  "SCALE100_r${R}.json" "SCALE_GROWTH_r${R}.txt" "SCALE100_r${R}.txt" \
+  "SCALE100_BUILD_r${R}.txt"
 git status --short
 
 RC=0
