@@ -1053,10 +1053,33 @@ object NearDup {
         |QUALIFY row_number() OVER (PARTITION BY bdoc ORDER BY jac DESC, cdoc) = 1
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val memb = Clustering.fingerprintBuckets(docs)
-      val sets = docs
+      def setsOf(dd: org.apache.spark.sql.DataFrame) = dd
         .select(col("doc_id"), array_distinct(TextFns.ngrams(col("text"), 3)).as("s"))
         .filter(size(col("s")) > 0)
+      // CONTENT-DEDUPED scoring (r16 VERDICT task 6 — the 100× cost was
+      // block volume, and CALIB shows the volume is copy multiplicity:
+      // replicated fixtures pack buckets with identical docs, growing
+      // Σ_b(odd_b·even_b) quadratically in the copy count while the
+      // distinct-content volume stays flat). Score ONE representative
+      // (min doc_id) per (content, parity); this is EXACT, not an
+      // approximation: copies share candidates and scores, and the
+      // argmax tie-break (jac DESC, cdoc ASC) already elects the min-id
+      // copy — the representative — as winner, so the uncapped output
+      // is reproduced verbatim and the UNCHANGED oracle proves it.
+      // Copies share the full distinct-trigram SET (the content key is
+      // the sorted set, not the raw text), fingerprints, and scores.
+      // `keys` is the ONE full-corpus trigram+hash pass (narrow
+      // (doc_id, ck) rows, checkpointed); every later trigram pass
+      // touches representatives only.
+      val keys = setsOf(docs)
+        .select(col("doc_id"),
+          sha2(array_join(array_sort(col("s")), "\u0001"), 256).as("ck"))
+        .localCheckpoint()
+      val repIds = keys.groupBy(col("ck"), pmod(col("doc_id"), lit(2)).as("par"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val repDocs = docs.join(repIds, Seq("doc_id"), "left_semi")
+      val memb = Clustering.fingerprintBuckets(repDocs)
       // Bucket-LOCAL scoring (the lshCandidatePairs lesson, found by the
       // 100x stress): the trigram sets ride INTO the bucket join, so a
       // candidate pair's multi-KB set arrays never cross a pair-keyed
@@ -1065,21 +1088,43 @@ object NearDup {
       // stress fixture: the round's other ENOSPC). A pair colliding in
       // several bands is scored once per collision (≤4, identical jac)
       // — harmless to the argmax, so no distinct is needed at all.
-      val membSets = memb.join(sets, "doc_id").localCheckpoint()
+      // verify on HASHED shingle sets: the per-pair cost at the 100×
+      // fixture was 2.1M array_intersect calls over ~200-element STRING
+      // arrays (~126 s measured, the query's whole budget) — hashing
+      // each distinct shingle to a long once per doc makes the
+      // intersect a primitive-array probe at a fraction of the cost,
+      // and set SIZES are preserved (xxhash64 collisions within one
+      // doc's ~10² shingles: ~1e-15), so jaccard — and the unchanged
+      // exact-string oracle — still match hash-exactly.
+      val membSets = memb.join(
+          setsOf(repDocs).select(col("doc_id"),
+            array_sort(array_distinct(transform(col("s"),
+              x => xxhash64(x)))).as("sh")),
+          "doc_id").localCheckpoint()
       val inter = size(array_intersect(col("sb"), col("sc"))).cast("double")
       val union = (size(col("sb")) + size(col("sc"))).cast("double") - inter
-      membSets.filter(col("doc_id") % 2 === 1)
-        .select(col("bucket"), col("doc_id").as("bdoc"), col("s").as("sb"))
+      val repResult = membSets.filter(col("doc_id") % 2 === 1)
+        .select(col("bucket"), col("doc_id").as("bdoc"), col("sh").as("sb"))
         .join(membSets.filter(col("doc_id") % 2 === 0)
-          .select(col("bucket"), col("doc_id").as("cdoc"), col("s").as("sc")), "bucket")
+          .select(col("bucket"), col("doc_id").as("cdoc"), col("sh").as("sc")), "bucket")
         .select(col("bdoc"), col("cdoc"), (inter / union).as("jac"))
         // argmax: max of (jac, -cdoc) struct = best jaccard, then
         // LOWEST corpus id — an aggregation, not a window
         .groupBy("bdoc")
         .agg(max(struct(col("jac"), (-col("cdoc")).as("nc"))).as("m"))
-        .select(col("bdoc").as("doc_id"),
+        .select(col("bdoc"),
           (-col("m.nc")).cast("long").as("match_id"),
           round(col("m.jac"), 9).as("jaccard"))
+      // fan the representative verdicts back out to every batch copy by
+      // content key (a linear equi-join — copies inherit their rep's
+      // match verbatim; exactly one odd rep per ck, so no fan-out blowup)
+      val repOdd = keys.filter(col("doc_id") % 2 === 1)
+        .join(repIds, Seq("doc_id"), "left_semi")
+        .select(col("ck"), col("doc_id").as("bdoc"))
+      keys.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("ck"))
+        .join(repOdd, "ck")
+        .join(repResult, "bdoc")
+        .select(col("doc_id"), col("match_id"), col("jaccard"))
         .orderBy("doc_id")
     }
   )

@@ -91,6 +91,24 @@ object CalibProbe {
       val bdocs = Tables.documents(spark, d)
       val memb = Clustering.fingerprintBuckets(bdocs).localCheckpoint()
       val bn = bdocs.count()
+      // r17: the operator scores one representative per (content,
+      // parity) over HASHED shingle sets — record the rep-block volume
+      // (its actual join size) alongside the full band-block bound
+      val bsets = bdocs.select(col("doc_id"),
+          array_distinct(graft.functions.TextFns.ngrams(col("text"), 3)).as("s"))
+        .filter(size(col("s")) > 0)
+      val bkeys = bsets.select(col("doc_id"),
+        sha2(array_join(array_sort(col("s")), "\u0001"), 256).as("ck"))
+      val brepIds = bkeys.groupBy(col("ck"), pmod(col("doc_id"), lit(2)).as("par"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val membR = Clustering.fingerprintBuckets(
+        bdocs.join(brepIds, Seq("doc_id"), "left_semi")).localCheckpoint()
+      val repVolume = membR
+        .groupBy("bucket")
+        .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+        .agg(sum(col("odd") * col("even")))
+        .head().getLong(0)
       val bcensus = memb
         .groupBy("bucket")
         .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
@@ -107,6 +125,7 @@ object CalibProbe {
       val bsecs = (System.nanoTime() - bt0) / 1e9
       println(f"[calib-bmf] dir=$d n_docs=$bn scored_rows=$scored ($bsecs%.1f s) " +
         f"per_batch_doc=${scored.toDouble / math.max(1L, bn / 2)}%.2f " +
+        f"rep_block_volume=$repVolume " +
         f"band_block_bound=${bcensus.getAs[Long]("join_rows")} " +
         f"buckets=${bcensus.getAs[Long]("buckets")} " +
         f"max_bucket=${bcensus.getAs[Long]("max_bucket")}")

@@ -175,6 +175,35 @@ class NearDupSpec extends AnyFunSuite {
       .count()
     assert(scored == blockVolume,
       s"scored $scored rows but the band blocks only allow $blockVolume")
+    // r17: the operator scores ONE representative per (content, parity)
+    // — its actual join volume is the rep-block volume, which the full
+    // band-block volume bounds from above (equality iff no two docs of
+    // one parity share a distinct-trigram set, as on this pristine
+    // fixture; on copy-densified fixtures rep volume is strictly less).
+    val sets = docs.select(col("doc_id"),
+        array_distinct(functions.TextFns.ngrams(col("text"), 3)).as("s"))
+      .filter(size(col("s")) > 0)
+    val keys = sets.select(col("doc_id"),
+      sha2(array_join(array_sort(col("s")), "\u0001"), 256).as("ck"))
+    val repIds = keys.groupBy(col("ck"), pmod(col("doc_id"), lit(2)).as("par"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val membR = operators.Clustering.fingerprintBuckets(
+      docs.join(repIds, Seq("doc_id"), "left_semi")).localCheckpoint()
+    val repVolume = membR
+      .groupBy("bucket")
+      .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+      .agg(sum(col("odd") * col("even")))
+      .head().getLong(0)
+    val scoredR = membR.filter(col("doc_id") % 2 === 1)
+      .select(col("bucket"), col("doc_id").as("bdoc"))
+      .join(membR.filter(col("doc_id") % 2 === 0)
+        .select(col("bucket"), col("doc_id").as("cdoc")), "bucket")
+      .count()
+    assert(scoredR == repVolume,
+      s"rep-scored $scoredR rows but the rep blocks only allow $repVolume")
+    assert(repVolume <= blockVolume,
+      s"rep volume $repVolume exceeds the full band-block volume $blockVolume")
   }
   test("by-label profile: representative cap binds deterministically to the smallest vec_ids") {
     // One label, 6 identical vectors → uncapped profile scores C(6,2)=15
