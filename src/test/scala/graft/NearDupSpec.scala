@@ -152,6 +152,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(cand <= slots, s"$cand candidates exceed $slots per-bucket pair slots")
     assert(cand <= n * 4 * (capEff - 1) / 2,
       s"$cand candidates exceed the linear-in-n capEff bound")
+    // r16 VERDICT task 5, the bound REGIME: capEff = clamp(n/16,
+    // [64, 4096]) — past n = 65536 the ceiling binds, the per-doc
+    // bound 4*(capEff-1)/2 stops growing with n, and total candidate
+    // growth returns to linear. Pinned here as the pure-function fact
+    // (ceiling flat from 2^16 up through corpus scale); the MEASURED
+    // past-ceiling point (1M-doc fixture vs the 500k one, per-doc
+    // candidates flat) is the paired CALIB_r17 record.
+    assert(NearDup.simhashCapEff(65536) == 4096)
+    assert(NearDup.simhashCapEff(500000) == 4096 &&
+      NearDup.simhashCapEff(1000000) == 4096 &&
+      NearDup.simhashCapEff(100000000L) == 4096,
+      "capEff must stay at the ceiling past 65k docs — the linear-regime guarantee")
   }
   test("X53 candidate bound: best-match scored rows equal the band-block join volume") {
     // r15 VERDICT task 4b: best_match_fuzzy's cost driver is the

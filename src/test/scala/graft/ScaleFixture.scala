@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   * OUTPUT grows superlinearly because of this (pair emitters) are
   * expected and called out in the growth report, not hidden.
   *
-  *   sbt "Test/runMain graft.ScaleFixture [copies=10] [src=/root/testdata/sf0.1] [out=/tmp/graft_sf1]"
+  *   sbt "Test/runMain graft.ScaleFixture [copies=10] [src=/root/testdata/sf0.1] [out=/tmp/graft_sf1] [tables=all]"
+  *
+  * The optional 4th arg (comma-separated table names) writes only the
+  * named tables — e.g. `200 /root/testdata/sf0.1 /tmp/graft_docs200
+  * documents` builds the r17 doc-only past-the-cap-ceiling fixture
+  * (1M docs) without replicating a 1.2B-row lineitem alongside it.
   */
 object ScaleFixture {
 
@@ -60,8 +65,11 @@ object ScaleFixture {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
+    val wanted = args.lift(3).filter(_ != "all")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit = {
+      if (wanted.exists(!_.contains(t))) return
       val out = s"$outDir/$t.parquet"
       if (!new java.io.File(out).exists()) {
         df.write.mode("overwrite").parquet(out)
@@ -112,9 +120,10 @@ object ScaleFixture {
             slice(col("embedding"), lit(2), size(col("embedding")))))),
       "embeddings")
 
-    val counts = graft.sources.Tables.names.map { t =>
-      t -> spark.read.parquet(s"$outDir/$t.parquet").count()
-    }
+    val counts = graft.sources.Tables.names
+      .filter(t => wanted.forall(_.contains(t))).map { t =>
+        t -> spark.read.parquet(s"$outDir/$t.parquet").count()
+      }
     System.err.println(s"[scalefixture] $outDir rows: " +
       counts.map { case (t, n) => s"$t=$n" }.mkString(", "))
     spark.stop()
