@@ -410,7 +410,12 @@ object NearDup {
     // localCheckpoint (r16 VERDICT task 3 — the knn_pv lesson: a
     // checkpoint pins a corpus-sized vector table in executor memory at
     // 100 TB, and erases the bucket layout the reps groupBy and the
-    // shuffled screen fallback both key on).
+    // shuffled screen fallback both key on). MEASURED at sf1 (filtered
+    // bench protocol, r17): checkpoint baseline 1.37 s median / 1.33 min
+    // → naive artifact 2.10 (per-rep sizing scanned the vector column)
+    // → float-stored artifact + memoized sizing 1.45 / 1.40 — parity in
+    // time, the memory pin gone; the artifact also amortizes across
+    // re-runs where the checkpoint rebuilt per session.
     val best = (idx match {
       case Some((s, d)) =>
         graft.Indexes.table(s, d, "semdedup_best", Seq("centroid"))(buildBest)
