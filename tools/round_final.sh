@@ -33,8 +33,10 @@ echo "=== [0/9] adopt previous round's driver-written records ==="
 for f in BENCH_r*.json CORRECTNESS_r*.json BENCH_SELF_r*.json \
   LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md; do
   # explicit if, not `[ -e ] &&`: under set -e a trailing failed
-  # short-circuit in the loop body would abort the whole chain
-  if [ -e "$f" ]; then git add -- "$f"; fi
+  # short-circuit in the loop body would abort the whole chain.
+  # check-ignore: a gitignored record (COPYCHECK.json) makes git add
+  # exit 1, which under set -e would also kill the chain.
+  if [ -e "$f" ] && ! git check-ignore -q "$f"; then git add -- "$f"; fi
 done
 if ! git diff --cached --quiet; then
   git commit -m "Adopt previous round's driver-written records"
