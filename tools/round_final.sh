@@ -74,6 +74,13 @@ fi
 require_nonempty BENCH_CANON.json
 
 echo "=== [2/9] sf0.1 official artifact (final binary, full registry) ==="
+# Pre-build index artifacts OUTSIDE the bench JVMs (r17: the one-time
+# knn_pv_emb rebuild ran inside shard 3's JVM at sf1 and contaminated
+# the two queries timed right after it, 7.6x hot — a fresh-named or
+# fresh-schema artifact should never build inside a timed shard).
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt "runMain graft.IndexWarm" 2>/dev/null | grep -c '{"query"' \
+  || { echo "FATAL: sf0.1 IndexWarm produced no output" >&2; exit 1; }
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf01.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf01.json"
@@ -84,6 +91,9 @@ python3 tools/bench_guard.py "BENCH_SELF_r${R}_sf01.json" \
 require_nonempty "BENCH_GUARD_r${R}.txt"
 
 echo "=== [4/9] 10x full-registry bench ==="
+SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
+  sbt "runMain graft.IndexWarm" 2>/dev/null | grep -c '{"query"' \
+  || { echo "FATAL: sf1 IndexWarm produced no output" >&2; exit 1; }
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf1.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf1.json"
