@@ -25,18 +25,23 @@ package graft
   */
 object IndexWarm {
 
+  /** Derived from the PLANS, not a hand audit: IndexWarmSpec constructs
+    * every registry query at sf0.001 and asserts this list equals
+    * exactly the set whose physical plan reads a `graft_idx_` table —
+    * the r17 hand-written first draft missed 12 (including
+    * minhash_calibration, the very query the in-shard knn_pv rebuild
+    * then contaminated). */
   val IndexBacked: Seq[String] = Seq(
-    // Similarity.scala: LSH postings, knn pv, IVF, PQ artifacts
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "knn_graph_lsh", "knn_graph_bound",
-    // NearDup.scala: planted-corpus LSH/minhash sigs, semdedup_best
-    "embedding_near_dup_lsh", "minhash_near_dup_pairs", "semdedup_keep",
-    // Dedup.scala: passage table, corpus fingerprints
-    "dedup_passages", "dedup_incremental",
-    // Graph.scala: symmetrized trade edges + degrees, oriented co-order
-    "pagerank_trade", "triangle_count", "khop_2_reach",
-    // Associations.scala / Clustering.scala: co-order pair tables, CC labels
-    "cooccur_parts", "pmi_parts", "frequent_triples", "cc_components")
+    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_recall_bounds",
+    "cc_clusters", "cc_components", "cc_keep_best",
+    "clustering_coefficient", "cooccur_parts", "dedup_apply_keep_best",
+    "dedup_incremental", "dedup_passages", "dedup_passages_scrub",
+    "embedding_near_dup_lsh", "frequent_triples", "khop_2_reach",
+    "khop_2_reach_approx", "khop_2_reach_approx_bound",
+    "knn_graph_bound", "knn_graph_lsh", "label_propagation",
+    "minhash_calibration", "minhash_calibration_bound",
+    "minhash_near_dup_pairs", "neardup_recall_bounds", "pagerank_trade",
+    "pmi_parts", "semdedup_keep", "source_overlap", "triangle_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,6 +96,15 @@ object Indexes {
   private[graft] def tableName(sfDir: String, name: String): String =
     s"graft_idx_${slugMemo.computeIfAbsent(sfDir, slug)}_$name"
 
+  /** Artifact names requested since the last [[resetTouched]] — lets
+    * IndexWarmSpec detect queries that build/adopt an artifact at
+    * CONSTRUCTION time behind a localCheckpoint (invisible in the final
+    * plan string). Diagnostic surface only. */
+  private val touched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def resetTouched(): Unit = touched.clear()
+  private[graft] def touchedNonEmpty: Boolean = !touched.isEmpty
+
   /** The bucket-layout marker an adoptable directory must match. */
   private def specJson(bucketKeys: Seq[String], nBuckets: Int): String =
     s"""{"bucketKeys":[${bucketKeys.map("\"" + _ + "\"").mkString(",")}],"nBuckets":${if (bucketKeys.isEmpty) 0 else nBuckets}}"""
@@ -112,6 +121,7 @@ object Indexes {
             bucketKeys: Seq[String], nBuckets: Int = 32)
            (build: => DataFrame): DataFrame = {
     val tbl = tableName(sfDir, name)
+    touched.add(tbl)
     val perSession = memo.synchronized {
       memo.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty[String, DataFrame])
