@@ -33,6 +33,7 @@ object IndexWarm {
     * then contaminated). */
   val IndexBacked: Seq[String] = Seq(
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk", "ann_recall_bounds",
+    "best_match_fuzzy", "best_match_fuzzy_bound",
     "cc_clusters", "cc_components", "cc_keep_best",
     "clustering_coefficient", "cooccur_parts", "dedup_apply_keep_best",
     "dedup_incremental", "dedup_passages", "dedup_passages_scrub",

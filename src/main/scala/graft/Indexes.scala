@@ -99,7 +99,15 @@ object Indexes {
   /** Artifact names requested since the last [[resetTouched]] — lets
     * IndexWarmSpec detect queries that build/adopt an artifact at
     * CONSTRUCTION time behind a localCheckpoint (invisible in the final
-    * plan string). Diagnostic surface only. */
+    * plan string). Diagnostic surface only.
+    *
+    * JVM-GLOBAL, so reset-then-probe detection is only sound while
+    * query constructions are sequential — which holds because sbt runs
+    * forked test suites sequentially (default testForkedParallel :=
+    * false) and IndexWarmSpec probes queries one at a time (r17
+    * ADVICE: enabling parallel forked tests or concurrent construction
+    * would cross-contaminate the set and flake the spec; if that ever
+    * changes, scope this per-thread instead). */
   private val touched =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def resetTouched(): Unit = touched.clear()

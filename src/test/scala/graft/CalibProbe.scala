@@ -56,6 +56,20 @@ object CalibProbe {
         f"kept_buckets=${census.getLong(0)} dropped_buckets=$dropped " +
         f"max_kept_bucket=${census.getAs[Long]("max_kept")} cap=${NearDup.maxBucket}")
 
+      // r17 VERDICT task 7: planted-pair recall measured IN THE SAME
+      // RUN as the bucket census, so at fixtures where the 64-doc cap
+      // actively drops buckets (500k+ docs: 37k dropped, CALIB_r17)
+      // the recall cost is recorded exactly where it bites — the
+      // neardup_recall_bounds floor (0.80) evaluated alongside the
+      // dropped_buckets count instead of only at oracle scales.
+      val planted = docs.filter(col("doc_id") < 50).count()
+      val found = NearDup.minhashPairs(docs, 0.5)
+        .filter(col("id2") === col("id1") + 100000L && col("id1") < 50).count()
+      val floorOk = if (planted == 0) true else found.toDouble / planted >= 0.80
+      println(f"[calib-recall] dir=$d planted=$planted found=$found " +
+        f"recall=${if (planted == 0) 0.0 else found.toDouble / planted}%.3f " +
+        f"floor=0.80 floor_ok=$floorOk dropped_buckets=$dropped")
+
       // r15 VERDICT task 4a: simhash_near_dup_pairs growth attribution
       // (220.6 s / 1.59x per-row at 100x — the adaptive cap's designed
       // growth phase). Same census as above, over the SAME corpus the
@@ -129,6 +143,28 @@ object CalibProbe {
         f"band_block_bound=${bcensus.getAs[Long]("join_rows")} " +
         f"buckets=${bcensus.getAs[Long]("buckets")} " +
         f"max_bucket=${bcensus.getAs[Long]("max_bucket")}")
+
+      // r18 (r17 VERDICT task 1): the CAPPED rep-block volume — each
+      // bucket's corpus (even) side clamped at BmfBucketCap min-id
+      // reps, exactly the postings artifact the operator now joins —
+      // next to the uncapped rep volume above, plus the even-side
+      // occupancy ceiling the no-op-at-oracle-scales claim rides on
+      // (max_even_rep < cap ⟺ the cap provably changed nothing).
+      val ccensus = membR
+        .groupBy("bucket")
+        .agg(sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("odd"),
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("even"))
+        .agg(sum(col("odd") * least(col("even"), lit(NearDup.BmfBucketCap.toLong)))
+            .as("capped_rows"),
+          max(col("even")).as("max_even_rep"),
+          sum(when(col("even") > NearDup.BmfBucketCap, 1L).otherwise(0L))
+            .as("engaged")).head()
+      println(f"[calib-bmf-cap] dir=$d cap=${NearDup.BmfBucketCap} " +
+        f"capped_rep_volume=${ccensus.getAs[Long]("capped_rows")} " +
+        f"uncapped_rep_volume=$repVolume " +
+        f"max_even_rep_bucket=${ccensus.getAs[Long]("max_even_rep")} " +
+        f"engaged_buckets=${ccensus.getAs[Long]("engaged")} " +
+        f"per_batch_doc_bound=${4L * NearDup.BmfBucketCap}")
     }
     spark.stop()
   }

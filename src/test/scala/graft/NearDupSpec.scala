@@ -217,6 +217,51 @@ class NearDupSpec extends AnyFunSuite {
     assert(repVolume <= blockVolume,
       s"rep volume $repVolume exceeds the full band-block volume $blockVolume")
   }
+  test("X53 bucket cap: no-op at fixture scale, exact channel immune to forced eviction") {
+    // r17 VERDICT task 1. Part 1 — the cap is a provable NO-OP wherever
+    // bucket occupancy stays under it (every oracle fixture: CALIB
+    // max_bucket 6/19/190 vs cap 256): the registered cap and an
+    // effectively-uncapped run must be row-identical on the pristine
+    // fixture, which is what lets the UNCHANGED brute-bucket oracle
+    // keep proving the operator at the driver gates.
+    val fixture = sources.Tables.documents(spark, SparkTestSession.sf0001)
+      .select(col("doc_id"), col("text"))
+    val registered = NearDup.bestMatchFuzzy(fixture)
+      .orderBy("doc_id").collect().toSeq
+    val uncapped = NearDup.bestMatchFuzzy(fixture, cap = 1000000)
+      .orderBy("doc_id").collect().toSeq
+    assert(registered == uncapped,
+      "cap must be a no-op at fixture bucket sizes")
+
+    // Part 2 — cap = 1 forces maximal eviction (each bucket keeps ONE
+    // min-id corpus rep). Identical-content matches must STILL resolve
+    // at Jaccard exactly 1.0 to the min even id with that content (the
+    // content-key channel never touches buckets); every odd doc with a
+    // nonempty shingle set still gets exactly one verdict (the cap
+    // never empties a nonempty bucket).
+    val base = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$base extraB"),  // batch: identical content to even 4
+      (3L, s"$base extraC"),  // batch: distinct content, near both evens
+      (2L, s"$base extraA"),  // corpus: the min-id rep evictions favor
+      (4L, s"$base extraB")   // corpus: doc 1's exact twin
+    ).toDF("doc_id", "text")
+    val got = NearDup.bestMatchFuzzy(corpus, cap = 1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 3L), "one verdict per batch doc")
+    assert(got.head == ((1L, 4L, 1.0)),
+      s"exact-content match must survive cap=1 eviction: $got")
+    val near = got(1)
+    assert(near._2 % 2 == 0 && near._3 > 0.0 && near._3 < 1.0,
+      s"capped bucket channel must still yield a corpus match: $near")
+  }
+
+  test("X53 bound: planted identical twins resolve at 1.0 — expected-empty at the fixture") {
+    assert(SparkEntry.queries("best_match_fuzzy_bound")(
+      spark, SparkTestSession.sf0001).count() == 0L,
+      "no planted origin may miss its Jaccard-1.0 twin")
+  }
+
   test("by-label profile: representative cap binds deterministically to the smallest vec_ids") {
     // One label, 6 identical vectors → uncapped profile scores C(6,2)=15
     // qualifying pairs. cap=3 must profile EXACTLY vec_ids {1,2,3}
@@ -284,10 +329,14 @@ class NearDupSpec extends AnyFunSuite {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
     try {
+      // under the floor the centroid-assignment gate (r17 VERDICT task
+      // 4) is ALSO withheld — the build behind the checkpoint runs as a
+      // cartesian (strategy pinned in PlanAuditSpec) and this
+      // end-to-end row-identity covers that branch too
       val sem = NearDup.semDedupKeep(emb, 0.5, 3)
       val p = plan(sem)
       assert(!p.contains("BroadcastHashJoin"),
-        s"floor threshold: no hash-broadcast may survive (the quantizer BNLJ is the one allowed hint):\n$p")
+        s"floor threshold: no hash-broadcast may survive:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"the screen must degrade to a shuffled equi-join:\n$p")
       assert(sem.orderBy("vec_id").collect().toSeq == semRows,

@@ -233,6 +233,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"capped screen must broadcast the representatives at fixture scale:\n$p")
   }
 
+  test("semdedup assignment: centroid broadcast is size-gated, fallback is a partitioned cartesian") {
+    // r17 VERDICT task 4: the N×L quantizer fan-out hard-broadcast the
+    // centroid table; the hint is now size-gated. Pin BOTH physical
+    // strategies on the PRE-materialization assignment plan (the
+    // registry plan hides the build behind the Indexes artifact):
+    // default threshold → the centroid side broadcasts (BNLJ); floor
+    // threshold → hint withheld, the same cross join plans as a
+    // CartesianProduct instead of a forced broadcast. Row-identity of
+    // the two branches is asserted end-to-end in NearDupSpec.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, SparkTestSession.sf0001)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val pBc = graft.operators.NearDup.semAssignment(emb)
+      .queryExecution.executedPlan.toString
+    assert(pBc.contains("BroadcastNestedLoopJoin"),
+      s"default threshold: the quantizer must broadcast:\n$pBc")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try {
+      val pCart = graft.operators.NearDup.semAssignment(emb)
+        .queryExecution.executedPlan.toString
+      assert(!pCart.contains("BroadcastNestedLoopJoin"),
+        s"floor threshold: the hint must be withheld:\n$pCart")
+      assert(pCart.contains("CartesianProduct"),
+        s"floor threshold: the assignment degrades to a partitioned cartesian:\n$pCart")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("whole-stage codegen covers the scalar hot paths") {
     // AQE wraps the plan and reports 0 codegen subtrees pre-execution —
     // inspect with AQE off (codegen behavior is identical underneath).

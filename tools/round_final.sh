@@ -73,14 +73,29 @@ else
 fi
 require_nonempty BENCH_CANON.json
 
+# Pre-warm gate (r17 ADVICE, medium): IndexWarm catches Throwable per
+# query and emits "first_sec":-1 on failure, so "printed at least one
+# line" alone lets a FAILED warm pass silently — and those queries'
+# artifact builds then land inside the timed bench shards, exactly the
+# contamination the warm step exists to prevent. Tee the output and
+# fail the chain on any -1.
+warm_gate() { # warm_gate <sfdir> <label>
+  local out="/tmp/indexwarm_$2.txt"
+  SPARK_GRAFT_SF_DIR="$1" SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-8g}" \
+    sbt "runMain graft.IndexWarm" 2>/dev/null | grep '{"query"' | tee "$out"
+  [ -s "$out" ] || { echo "FATAL: $2 IndexWarm produced no output" >&2; exit 1; }
+  if grep -q '"first_sec":-1' "$out"; then
+    echo "FATAL: $2 IndexWarm had FAILING queries (first_sec -1 above) — their builds would land in timed shards" >&2
+    exit 1
+  fi
+}
+
 echo "=== [2/9] sf0.1 official artifact (final binary, full registry) ==="
 # Pre-build index artifacts OUTSIDE the bench JVMs (r17: the one-time
 # knn_pv_emb rebuild ran inside shard 3's JVM at sf1 and contaminated
 # the two queries timed right after it, 7.6x hot — a fresh-named or
 # fresh-schema artifact should never build inside a timed shard).
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  sbt "runMain graft.IndexWarm" 2>/dev/null | grep -c '{"query"' \
-  || { echo "FATAL: sf0.1 IndexWarm produced no output" >&2; exit 1; }
+warm_gate /root/testdata/sf0.1 sf01
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf01.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf01.json"
@@ -91,9 +106,7 @@ python3 tools/bench_guard.py "BENCH_SELF_r${R}_sf01.json" \
 require_nonempty "BENCH_GUARD_r${R}.txt"
 
 echo "=== [4/9] 10x full-registry bench ==="
-SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 \
-  sbt "runMain graft.IndexWarm" 2>/dev/null | grep -c '{"query"' \
-  || { echo "FATAL: sf1 IndexWarm produced no output" >&2; exit 1; }
+warm_gate /tmp/graft_sf1 sf1
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 GRAFT_BENCH_OUT="BENCH_SELF_r${R}_sf1.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
 require_nonempty "BENCH_SELF_r${R}_sf1.json"
@@ -104,6 +117,13 @@ python3 tools/bench_guard.py "BENCH_SELF_r${R}_sf1.json" \
 require_nonempty "BENCH_GUARD_r${R}_sf1.txt"
 
 echo "=== [6/9] 10x oracle compare (rationale-carrying excludes) ==="
+# Warm the 10x fixture's index artifacts before the oracle leg too
+# (r17 VERDICT task 6): step 4 normally covers this, but when the
+# chain is resumed mid-way or an artifact was invalidated in between,
+# Verify would otherwise build indexes lazily inside its own JVM —
+# the same in-shard-build contamination, just in the correctness leg.
+# Idempotent and cheap when step 4 already ran (adoption, no rebuild).
+warm_gate /tmp/graft_sf1 sf1_oracle
 rm -rf /tmp/vout_10x
 SPARK_DRIVER_MEM=16g sbt "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_10x" 2>&1 \
   | { grep -E "\[verify\].*failed" || true; }   # no failed lines is the good case
@@ -130,6 +150,11 @@ SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_DRIVER_MEM=16g \
   sbt "runMain graft.IndexWarm" 2>/dev/null | grep -o '{"query".*' \
   | tee "SCALE100_BUILD_r${R}.txt"
 require_nonempty "SCALE100_BUILD_r${R}.txt"
+# same -1 gate as warm_gate, preserving the record file (r17 ADVICE)
+if grep -q '"first_sec":-1' "SCALE100_BUILD_r${R}.txt"; then
+  echo "FATAL: 100x IndexWarm had FAILING queries — builds would land in the stress bench" >&2
+  exit 1
+fi
 SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 SPARK_GRAFT_BENCH_REPS=1 SPARK_DRIVER_MEM=16g \
   GRAFT_BENCH_OUT="SCALE100_r${R}.json" \
   sbt "runMain graft.Bench" 2>/dev/null | grep -m1 -o '"metric".*'
