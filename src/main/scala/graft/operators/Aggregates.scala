@@ -57,7 +57,7 @@ object Aggregates {
       val pctD = DecimalType(4, 2)
       val revDec = col("l_extendedprice").cast(priceD) *
         (lit(1).cast(pctD) - col("l_discount").cast(pctD))
-      Tables.lineitem(s, d)
+      Tables.spread(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast(qtyD)).cast("double").as("sum_qty"),

@@ -48,7 +48,7 @@ object Analytics {
         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val q = col("l_quantity")
       val p = col("l_extendedprice")
-      val st = Tables.lineitem(s, d)
+      val st = Tables.spread(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
@@ -159,7 +159,7 @@ object Analytics {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem) t
         |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(s, d, "lineitem")
         .withColumn("qty", col("l_quantity"))
         .withColumn("price", col("l_extendedprice"))
         .withColumn("discount", col("l_discount"))

@@ -401,7 +401,7 @@ object Dedup {
         |  max(pos) + 8 - min(pos) AS span_tokens
         |FROM isl GROUP BY doc_id, gid
         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
-      dupSpans(Tables.documents(s, d), 8).orderBy("doc_id", "span_start")
+      dupSpans(Tables.spread(s, d, "documents"), 8).orderBy("doc_id", "span_start")
     },
 
     // X82: duplicated-span SCRUB — the apply step X80 only detects.
@@ -461,7 +461,7 @@ object Dedup {
         |UNION ALL
         |SELECT doc_id, 0, 0, '' FROM toks WHERE len(t) = 0
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      dupSpansScrub(Tables.documents(s, d), 8).orderBy("doc_id")
+      dupSpansScrub(Tables.spread(s, d, "documents"), 8).orderBy("doc_id")
     }
   )
 

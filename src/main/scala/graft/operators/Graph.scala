@@ -308,12 +308,22 @@ object Graph {
     // (co-order ≥ 2), which is the production mitigation (prune or
     // sketch with HLL beyond that — `approx_count_distinct` drops in
     // for `countDistinct` unchanged when exactness can be traded).
+    // r18: the two exact distincts are computed by PRE-GROUPING on
+    // (node, dst) — max(direct) marks pairs with a direct edge — then
+    // plain counts per node, instead of countDistinct×2 (which plans
+    // an Expand that DOUBLES the Σdeg² fan-out before aggregating, and
+    // whose partial state keys on (node, dst) anyway). Same exact
+    // counts, half the rows into the first aggregate, one distinct
+    // channel instead of two; map-side partials still compress the
+    // fan-out. Plan: 2 Expand → 0 (plans/r18/khop_2_reach_*.txt).
     Q("khop_2_reach",
       khopSql) { (s, d) =>
       khopTagged(coorderEdges(s, d))
-        .groupBy(col("src").as("node"))
-        .agg(countDistinct(when(col("direct"), col("dst"))).as("n_1hop"),
-          countDistinct(col("dst")).as("n_2hop"))
+        .groupBy(col("src").as("node"), col("dst"))
+        .agg(max(col("direct")).as("dir"))
+        .groupBy("node")
+        .agg(count(when(col("dir"), true)).as("n_1hop"),
+          count(lit(1)).as("n_2hop"))
         .orderBy("node")
     },
 
@@ -359,9 +369,17 @@ object Graph {
       """SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS abs_err
         |WHERE false""".stripMargin) { (s, d) =>
       val e = coorderEdges(s, d)
+      // r18: dedup (node, dst) FIRST, then count + sketch the deduped
+      // stream — exact count is unchanged by definition, and the HLL
+      // sketch is duplicate-idempotent (same value → same register),
+      // so approx_2hop is bit-identical too. Removes the Expand the
+      // mixed exact+approx aggregation otherwise plans; this query
+      // already pays exact-distinct (pair-level) state by design, so
+      // unlike khop_2_reach_approx the regroup costs no extra state.
       val both = khopTagged(e)
-        .groupBy(col("src").as("node"))
-        .agg(countDistinct(col("dst")).as("exact_2hop"),
+        .select(col("src").as("node"), col("dst")).distinct()
+        .groupBy("node")
+        .agg(count(lit(1)).as("exact_2hop"),
           approx_count_distinct(col("dst"), 0.04).as("approx_2hop"))
       // n_nodes for the adaptive cutoff = |distinct khop origins| =
       // |distinct endpoints of the pruned edge set| (the 2-hop join

@@ -201,7 +201,7 @@ object Lexicon {
          |SELECT a.doc_id, count(*) AS n_occurrences
          |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = Tables.spread(s, d, "documents")
         .select(col("doc_id"),
           posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
       val a = toks.filter(col("term") === "table")

@@ -151,12 +151,12 @@ object Multimodal {
         |FROM ev JOIN feats f ON ev.ref_id = f.doc_id
         |GROUP BY f.lang, f.label
         |ORDER BY f.lang, f.label""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
+      val docs = Tables.spread(s, d, "documents")
+      val emb = Tables.spread(s, d, "embeddings")
       val feats = docs.join(emb, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
           round(sqrt(Similarity.norm2(col("embedding").cast("array<double>"))), 6).as("l2"))
-      val ev = Tables.events(s, d).select(
+      val ev = Tables.spread(s, d, "events").select(
         try_element_at(from_json(col("props"), MapType(StringType, StringType)), lit("k"))
           .cast("long").as("ref_id"),
         col("value"))

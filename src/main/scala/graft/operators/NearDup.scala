@@ -823,7 +823,7 @@ object NearDup {
     // X2: per-doc signatures (deterministic; rows-only check — the
     // estimator itself is property-tested in NearDupSpec).
     Q.noOracle("minhash_signatures") { (s, d) =>
-      minhashSignatures(Tables.documents(s, d))
+      minhashSignatures(Tables.spread(s, d, "documents"))
         .select(col("doc_id"),
           element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
           element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))

@@ -70,7 +70,7 @@ object PiiScrub {
          |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ip
          |FROM $duckPlanted _
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      detect(withPlantedPii(Tables.documents(s, d))).orderBy("doc_id")
+      detect(withPlantedPii(Tables.spread(s, d, "documents"))).orderBy("doc_id")
     },
 
     Q("pii_scrub",
@@ -82,7 +82,7 @@ object PiiScrub {
          |    '$phoneRe', '<PHONE>', 'g') AS clean_text
          |FROM $duckPlanted _
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      scrub(withPlantedPii(Tables.documents(s, d))).orderBy("doc_id")
+      scrub(withPlantedPii(Tables.spread(s, d, "documents"))).orderBy("doc_id")
     }
   )
 }

@@ -53,7 +53,7 @@ object Profiling {
         |FROM lineitem
         |ORDER BY col_name""".stripMargin) { (s, d) =>
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-      val li = Tables.lineitem(s, d)
+      val li = Tables.spread(s, d, "lineitem")
       // one aggregation node: 4 distinct-counts + 16 plain aggregates
       // (Expand fans each row into 5 streams; one job, one final shuffle)
       val wide = li.agg(

@@ -70,7 +70,7 @@ object RobustStats {
         |  round(quantile_cont(l_extendedprice, 0.5), 9) AS med_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      quartiles(Tables.lineitem(s, d))
+      quartiles(Tables.spread(s, d, "lineitem"))
     },
 
     Q("outlier_mad",

@@ -75,7 +75,7 @@ object Scalars {
         |       WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS qty_tier
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, revenue, charge, qty_tier""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).select(
+      Tables.spread(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
@@ -154,7 +154,7 @@ object Scalars {
         |  least(l_discount, l_tax) AS ldt
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, adisc, price1, q2, m3""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).select(
+      Tables.spread(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("adisc"),
         round(col("l_extendedprice"), 1).as("price1"),
@@ -225,7 +225,7 @@ object Scalars {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))
-      Tables.events(s, d).select(
+      Tables.spread(s, d, "events").select(
         col("event_id"),
         // try_element_at: null on absent key, matching get_json_object
         // semantics (plain element_at throws under ANSI mode)
@@ -247,7 +247,7 @@ object Scalars {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      Tables.spread(s, d, "events")
         .select(col("event_type"),
           variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
         .groupBy("event_type")

@@ -172,7 +172,7 @@ object TextAnalysis {
         |    / count(*), 6) AS avg_logprob
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = Tables.spread(s, d, "documents")
         .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       val bg = toks
         .select(col("doc_id"), explode(
@@ -227,7 +227,7 @@ object TextAnalysis {
          |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-      tfidf(Tables.documents(s, d))
+      tfidf(Tables.spread(s, d, "documents"))
     }.copy(headline = true),
 
     // X5: per-language corpus stats (lang breakdown). Exact integer
@@ -281,7 +281,7 @@ object TextAnalysis {
          |    ELSE 'unknown' END AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = TextFns.tokens(col("text"))
-      val scored = Tables.documents(s, d).select(
+      val scored = Tables.spread(s, d, "documents").select(
         col("doc_id"),
         hitRatio(t, stopwords(0)._2).as("s_en"),
         hitRatio(t, stopwords(1)._2).as("s_fr"),
@@ -328,7 +328,7 @@ object TextAnalysis {
          |FROM cm JOIN tot t USING (lang)
          |ORDER BY cm.lang, cm.lang_pred""".stripMargin) { (s, d) =>
       val t = TextFns.tokens(col("text"))
-      val scored = Tables.documents(s, d).select(
+      val scored = Tables.spread(s, d, "documents").select(
         col("lang"),
         hitRatio(t, stopwords(0)._2).as("s_en"),
         hitRatio(t, stopwords(1)._2).as("s_fr"),
@@ -408,7 +408,7 @@ object TextAnalysis {
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_chars4
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).select(
+      Tables.spread(s, d, "documents").select(
         col("doc_id"),
         size(regexp_extract_all(col("text"),
           lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"), lit(0))).cast("long").as("bpe_tokens"),
@@ -436,7 +436,7 @@ object TextAnalysis {
          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val h = md5(col("shingle"))
       val band = pmod(ascii(substring(h, 1, 1)), lit(4))
-      Tables.documents(s, d)
+      Tables.spread(s, d, "documents")
         .select(col("doc_id"), explode(TextFns.ngrams(col("text"), 3)).as("shingle"))
         .select(col("doc_id"), h.as("h"), band.as("band"))
         .groupBy("doc_id")

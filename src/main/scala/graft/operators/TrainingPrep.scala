@@ -243,12 +243,12 @@ object TrainingPrep {
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag, x_minmax, x_z""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       val x = col("l_extendedprice").cast("double")
-      val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+      val g = Tables.spread(s, d, "lineitem").groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           min(x).as("mn"), max(x).as("mx"),
           sum(x.cast(DecimalType(18, 2))).cast("double").as("s1"),
           sum((x * x).cast(DecimalType(38, 4))).cast("double").as("s2"))
-      Tables.lineitem(s, d)
+      Tables.spread(s, d, "lineitem")
         .join(broadcast(g), "l_returnflag")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round((x - col("mn")) / (col("mx") - col("mn")), 9).as("x_minmax"),
@@ -287,7 +287,7 @@ object TrainingPrep {
         |FROM w JOIN m ON w.l_returnflag = m.l_returnflag
         |ORDER BY l_orderkey, l_linenumber, w.l_returnflag, q_imputed, was_imputed""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
-      val withNulls = Tables.lineitem(s, d)
+      val withNulls = Tables.spread(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
             .otherwise(col("l_quantity")).as("q"))

@@ -28,6 +28,57 @@ object Tables {
     tsColumns.getOrElse(name, Nil)
       .foldLeft(spark.read.parquet(s"$sfDir/$name.parquet"))(normalizeTs)
 
+  /** Opt-in spread loader: [[apply]] plus [[spread]]. For queries whose
+    * FIRST post-scan operator is itself an exchange (joins, windows,
+    * shuffling aggregations), the exchange already distributes the work
+    * and an extra round-robin pass only adds a serialization of the
+    * table — measured +0.3–0.45 s on window_running / join_left_outer.
+    * Those call sites stay on [[apply]]; call this one only where heavy
+    * per-row work (explodes, wide projections, Expand, JSON parsing)
+    * would otherwise fuse onto the scan task — measured −25…−52 % on
+    * profile_columns / math_functions / feature_scale / dup_spans_scrub
+    * at sf0.1 / 32 cores. */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spread(spark, apply(spark, sfDir, name), s"$sfDir/$name.parquet")
+
+  /** Scale-adaptive read parallelism (optimization guide §2.5: "one huge
+    * unsplittable file — repartition immediately after the read").
+    *
+    * The driver fixtures are ONE parquet file with ONE row group per
+    * table, and a row group is the vectorized reader's atomic unit — so
+    * no split-size config can give the scan more than one useful task,
+    * and everything Spark fuses onto the scan (explodes, projections,
+    * partial aggregates: measured 3.9 s of the 4.7 s profile_columns
+    * wall, 0.7 s gram explodes in dup_spans) runs on ONE of the
+    * session's cores. A round-robin repartition right after the read
+    * moves that work onto every core for the one-time cost of shuffling
+    * the (column-pruned, filter-reduced — both push below Repartition)
+    * scan output once.
+    *
+    * The gate derives from input size, not from the local core count:
+    * when the file layout itself can feed at least as many splits as
+    * there are cores (bytes / maxPartitionBytes ≥ cores — any healthy
+    * multi-row-group table at scale), the repartition is a no-op skip,
+    * so at 100 TB this never inserts a shuffle. Tiny inputs (< 256 KB)
+    * are also skipped: their scan is microseconds and the exchange
+    * would be pure stage-latency overhead. */
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.mapToLong(java.nio.file.Files.size(_)).sum finally s.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Throwable => Long.MaxValue } // unknown → assume big, skip
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(maxSplit)
+    val naturalSplits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
+    if (bytes < (256L << 10) || naturalSplits >= cores) df
+    else df.repartition(cores)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

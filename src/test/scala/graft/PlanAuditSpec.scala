@@ -465,8 +465,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("khop_2_reach_approx_bound")
     val twoHop = "BroadcastHashJoin \\[dst#\\d+L\\], \\[src#\\d+L\\]".r.findAllIn(p).size
     assert(twoHop == 1, s"expected exactly 1 two-hop self-join, saw $twoHop")
-    assert(p.contains("merge_approx_count_distinct"),
-      "HLL sketch must merge map-side beside the exact distinct")
+    // r18: both counts ride ONE (node, dst) pre-dedup of the expansion
+    // (exact = count over the deduped stream; the HLL sketch is
+    // duplicate-idempotent so it reads the same stream bit-identically)
+    // — no Expand-based distinct rewrite may reappear and double the
+    // Sigma-deg^2 rows, and the sketch still merges partial/final.
+    assert(!p.contains("Expand"),
+      "the exact+approx pair must share the (node,dst) dedup, not an Expand rewrite")
+    assert(p.contains("partial_approx_count_distinct"),
+      "HLL sketch must aggregate partial/final beside the exact count")
     assert(p.contains("IdentityBroadcastMode"),
       "the n_nodes scalar must broadcast, not shuffle against the nodes")
   }
